@@ -1,0 +1,252 @@
+"""Ensemble MAP / MLE trainer.
+
+Semantics parity with the reference trainer
+(`/root/reference/src/bayesnf/inference.py:376-458,510-623`):
+
+- loss = -(loglik * N/B + prior_weight * prior_log_prob); MLE is
+  prior_weight == 0 (reference spatiotemporal.py:551).
+- init: noise scale <- log(nanstd(y)/2), weight matrices <-
+  TruncatedNormal(0,1,-2,2), everything else <- 0.
+- Adam, `lax.scan` over epochs containing `lax.scan` over minibatches;
+  per-epoch reshuffle only when batch_size < N; ragged final batch dropped;
+  per-epoch loss = mean over steps.
+- `num_splits` sequential host loop over ensemble chunks (a memory seam and
+  the natural checkpoint boundary), concatenated on the member axis.
+
+TPU-first redesign (not a translation):
+
+- One `jax.jit` over an explicit ('ens', 'data') mesh replaces
+  `pmap(vmap(...))`: ensemble members are a leading GSPMD-sharded axis,
+  training data is row-sharded over the 'data' axis, and XLA inserts the
+  (only) collectives — the loss/grad all-reduce when data_devices > 1.
+- Seasonal features are precomputed once and carried alongside the inputs
+  (the reference recomputes them inside every step).
+- Any ensemble size runs on any device count via member-axis padding
+  (fixes reference issue #28).
+- The whole `num_epochs x num_batches` optimization is a single fused XLA
+  program with no host sync; loss history is carried in the scan.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bayesnf_tpu.models import field as field_lib
+from bayesnf_tpu.models import likelihoods
+from bayesnf_tpu.models import priors
+from bayesnf_tpu.parallel import mesh as mesh_lib
+
+
+def _member_loss(
+    config, distribution, prior_weight, data_size, params, aug_batch, y_batch
+):
+  """Negative (loglik * N/B + prior_weight * prior) for one member/batch."""
+  d = config.num_inputs
+  x = aug_batch[:, :d]
+  seasonal = aug_batch[:, d:]
+  pred = field_lib.apply_field(config, params, x, seasonal)
+  scale = data_size / y_batch.shape[0]
+  loglik = likelihoods.log_likelihood(distribution, params, pred, y_batch)
+  if prior_weight == 0.0:
+    return -(loglik * scale)
+  return -(
+      loglik * scale + prior_weight * priors.prior_log_prob(config, params)
+  )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_train_fn(
+    config: field_lib.FieldConfig,
+    distribution: likelihoods.LikelihoodDist,
+    num_epochs: int,
+    batch_size: int,
+    data_size: int,
+    learning_rate: float,
+    prior_weight: float,
+    mesh,
+):
+  """Build the jitted ensemble training program for one static config."""
+  optimizer = optax.adam(learning_rate)
+  num_batches = data_size // batch_size
+  loss_fn = functools.partial(
+      _member_loss, config, distribution, prior_weight, data_size
+  )
+
+  def member_train(params, key, aug, target):
+    opt_state = optimizer.init(params)
+
+    def one_step(carry, batch):
+      params, opt_state = carry
+      aug_b, y_b = batch
+      loss, grads = jax.value_and_grad(loss_fn)(params, aug_b, y_b)
+      updates, opt_state = optimizer.update(grads, opt_state)
+      params = optax.apply_updates(params, updates)
+      return (params, opt_state), loss
+
+    def one_epoch(carry, _):
+      params, opt_state, key = carry
+      key, permute_key = jax.random.split(key)
+      if batch_size < data_size:
+        perm = jax.random.permutation(permute_key, data_size)
+        keep = num_batches * batch_size
+        aug_e = aug[perm[:keep]].reshape(num_batches, batch_size, -1)
+        y_e = target[perm[:keep]].reshape(num_batches, batch_size)
+      else:
+        aug_e = aug[jnp.newaxis]
+        y_e = target[jnp.newaxis]
+      (params, opt_state), losses = jax.lax.scan(
+          one_step, (params, opt_state), (aug_e, y_e)
+      )
+      return (params, opt_state, key), losses.mean()
+
+    (params, _, _), losses = jax.lax.scan(
+        one_epoch, (params, opt_state, key), None, length=num_epochs
+    )
+    return params, losses
+
+  train = jax.vmap(member_train, in_axes=(0, 0, None, None))
+
+  ens = mesh_lib.ensemble_sharding(mesh)
+  data = mesh_lib.data_sharding(mesh)
+  num_param_leaves = len(field_lib.param_specs(config))
+  return jax.jit(
+      train,
+      in_shardings=(
+          (ens,) * num_param_leaves,
+          ens,
+          data,
+          data,
+      ),
+      out_shardings=((ens,) * num_param_leaves, ens),
+      donate_argnums=(0,),
+  )
+
+
+def ensemble_map(
+    aug_features: jax.Array,
+    target: jax.Array,
+    config: field_lib.FieldConfig,
+    distribution: likelihoods.LikelihoodDist,
+    ensemble_size: int,
+    learning_rate: float,
+    num_epochs: int,
+    seed: jax.Array,
+    batch_size: int | None = None,
+    prior_weight: float = 1.0,
+    mesh=None,
+) -> tuple[tuple, jax.Array]:
+  """Train `ensemble_size` independent MAP/MLE members on one mesh.
+
+  Args:
+    aug_features: (N, D + 2F) training inputs with precomputed seasonal
+      features appended (see `field_lib.seasonal_features_for`).
+    target: (N,) training targets.
+    config: static model config.
+    distribution: observation model.
+    ensemble_size: total number of members to train (any positive int).
+    learning_rate: Adam learning rate.
+    num_epochs: epochs (scan length).
+    seed: PRNG key.
+    batch_size: minibatch rows; None means full batch.
+    prior_weight: prior multiplier in the loss (0 == MLE).
+    mesh: ('ens', 'data') mesh; defaults to all devices on 'ens'.
+
+  Returns:
+    (params, losses): params is the flat tuple with leading member axis
+    (ensemble_size, ...); losses has shape (ensemble_size, num_epochs).
+  """
+  if mesh is None:
+    mesh = mesh_lib.default_mesh()
+  data_size = int(target.shape[0])
+  if batch_size is None or batch_size > data_size:
+    batch_size = data_size
+
+  padded = mesh_lib.pad_ensemble_size(ensemble_size, mesh)
+  init_seed, opt_seed = jax.random.split(seed, 2)
+
+  target_scale = np.nanstd(np.asarray(target))
+  log_noise_init = np.log(target_scale / 2.0)
+
+  init_keys = jax.random.split(init_seed, padded)
+  init_fn = functools.partial(
+      field_lib.init_params, config, log_noise_scale_init=log_noise_init
+  )
+  init_params = jax.vmap(lambda k: init_fn(k))(init_keys)
+  member_keys = jax.random.split(opt_seed, padded)
+
+  train = _make_train_fn(
+      config,
+      distribution,
+      int(num_epochs),
+      int(batch_size),
+      data_size,
+      float(learning_rate),
+      float(prior_weight),
+      mesh,
+  )
+  aug_features = jnp.asarray(aug_features, dtype=jnp.float32)
+  target = jnp.asarray(target, dtype=jnp.float32)
+  params, losses = train(tuple(init_params), member_keys, aug_features, target)
+
+  if padded != ensemble_size:
+    params = tuple(p[:ensemble_size] for p in params)
+    losses = losses[:ensemble_size]
+  return params, losses
+
+
+def fit_map(
+    aug_features,
+    target,
+    seed: jax.Array,
+    observation_model: str,
+    config: field_lib.FieldConfig,
+    num_particles: int,
+    learning_rate: float,
+    num_epochs: int,
+    prior_weight: float = 1.0,
+    batch_size: int | None = None,
+    num_splits: int = 1,
+    mesh=None,
+) -> tuple[tuple, np.ndarray]:
+  """Fit a MAP/MLE ensemble, optionally in sequential memory-bounded splits.
+
+  Returns:
+    (params, losses) as host numpy, with the flat member axis leading:
+    params leaves (num_particles, ...), losses (num_particles, num_epochs).
+  """
+  distribution = likelihoods.LikelihoodDist(observation_model)
+  if num_particles % num_splits != 0:
+    raise ValueError(
+        f'{num_particles=} must be divisible by {num_splits=}.'
+    )
+  per_split = num_particles // num_splits
+
+  params_splits, losses_splits = [], []
+  for i in range(num_splits):
+    # Seed handling mirrors the reference (inference.py:432-438): unchanged
+    # when num_splits == 1, folded otherwise.
+    seed_i = jax.random.fold_in(seed, i) if num_splits > 1 else seed
+    params_i, losses_i = ensemble_map(
+        aug_features,
+        target,
+        config,
+        distribution,
+        ensemble_size=per_split,
+        learning_rate=learning_rate,
+        num_epochs=num_epochs,
+        seed=seed_i,
+        batch_size=batch_size,
+        prior_weight=prior_weight,
+        mesh=mesh,
+    )
+    params_splits.append(jax.tree_util.tree_map(np.array, params_i))
+    losses_splits.append(np.array(losses_i))
+
+  params = jax.tree_util.tree_map(
+      lambda *ts: np.concatenate(ts, axis=0), *params_splits
+  )
+  losses = np.concatenate(losses_splits, axis=0)
+  return params, losses

@@ -1,0 +1,113 @@
+"""Spatiotemporal feature encoders.
+
+Math parity with the reference encoders
+(`/root/reference/src/bayesnf/models.py:36-88`):
+
+- *Seasonal harmonics*: for periods p_j with h_j harmonics each, frequencies
+  {k/p_j : k=1..h_j} are deduplicated (first occurrence kept in order), and
+  the features are [cos(2*pi*f*t), sin(2*pi*f*t)] / harmonic_number.
+- *Fourier features*: per input dimension with degree d, features are
+  [cos(2*pi*2^k*x), sin(2*pi*2^k*x)] / (k+1) for k in [0, d).
+- *Interactions*: products of scaled input pairs.
+
+TPU-first design note: seasonal features depend only on the raw time column —
+NOT on any learned parameter — so they are precomputed once per dataset
+(:func:`seasonal_features`) and carried alongside the inputs, instead of
+being recomputed inside every training step as the reference does
+(reference models.py:223-228 runs inside `mlp.apply` on the hot path).
+Fourier and interaction features depend on the learned per-input scale
+adjustment, so they are computed in-step (:func:`encode`) where XLA fuses
+them into the first matmul.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def seasonal_frequency_table(
+    seasonality_periods: np.ndarray, num_harmonics: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+  """Return deduplicated (frequencies, harmonic_numbers) for the periods.
+
+  Harmonic k of period p contributes frequency k/p. Duplicate frequencies
+  (e.g. harmonic 2 of period 12 == harmonic 1 of period 6) are removed,
+  keeping the first occurrence in concatenation order.
+
+  Raises:
+    ValueError: if any harmonic count exceeds half its period, if the two
+      arrays have different shapes, or if they are not rank 1.
+  """
+  seasonality_periods = np.asarray(seasonality_periods, dtype=np.float32)
+  num_harmonics = np.asarray(num_harmonics)
+  if np.any(num_harmonics > seasonality_periods / 2):
+    raise ValueError('Harmonic cannot exceed half seasonal period.')
+  if seasonality_periods.shape != num_harmonics.shape:
+    raise ValueError('Number of seasonal periods and harmonics must be equal.')
+  if num_harmonics.ndim != 1:
+    raise ValueError(
+        'Arguments `num_harmonics` and `seasonality_periods` must be rank 1.'
+    )
+  if seasonality_periods.shape[0] == 0:
+    return (np.zeros(0), np.zeros(0))
+  harmonics = [np.arange(1, h + 1, dtype=np.float32) for h in num_harmonics]
+  frequencies = np.concatenate(
+      [h / p for (h, p) in zip(harmonics, seasonality_periods)]
+  )
+  _, first_idx = np.unique(frequencies, return_index=True)
+  keep = np.sort(first_idx)
+  return (frequencies[keep], np.concatenate(harmonics)[keep])
+
+
+def seasonal_features(
+    t: jax.Array,
+    frequencies: np.ndarray | tuple,
+    harmonics: np.ndarray | tuple,
+    rescale: bool = True,
+) -> jnp.ndarray:
+  """Seasonal harmonic features of the raw time column.
+
+  Args:
+    t: (N,) raw (unscaled) time values.
+    frequencies: (F,) deduplicated frequencies from
+      :func:`seasonal_frequency_table`.
+    harmonics: (F,) harmonic numbers aligned with `frequencies`.
+    rescale: divide each cos/sin pair by its harmonic number.
+
+  Returns:
+    (N, 2F) array laid out [cos_f1..cos_fF, sin_f1..sin_fF].
+  """
+  frequencies = jnp.asarray(frequencies, dtype=jnp.float32)
+  harmonics = jnp.asarray(harmonics, dtype=jnp.float32)
+  if frequencies.shape[0] == 0:
+    return jnp.zeros(t.shape[:1] + (0,), dtype=jnp.float32)
+  angles = 2.0 * jnp.pi * frequencies * t[..., None]
+  feats = jnp.concatenate([jnp.cos(angles), jnp.sin(angles)], axis=-1)
+  if rescale:
+    feats = feats / jnp.tile(harmonics, 2)
+  return feats
+
+
+def fourier_features(
+    x: jax.Array, max_degree: int, rescale: bool = True
+) -> jnp.ndarray:
+  """Octave Fourier features of one (scaled) input dimension.
+
+  Args:
+    x: (N,) scaled input values.
+    max_degree: number of octaves d; frequencies are 2^k for k in [0, d).
+    rescale: divide octave k's cos/sin pair by (k+1).
+
+  Returns:
+    (N, 2d) array laid out [cos_0..cos_{d-1}, sin_0..sin_{d-1}].
+  """
+  if max_degree <= 0:
+    return jnp.zeros(x.shape[:1] + (0,), dtype=x.dtype)
+  base = 2.0 * jnp.pi * x[..., None]
+  octaves = jnp.exp2(jnp.arange(max_degree, dtype=x.dtype))
+  angles = base * octaves
+  feats = jnp.concatenate([jnp.cos(angles), jnp.sin(angles)], axis=-1)
+  if rescale:
+    denom = jnp.tile(jnp.arange(1, max_degree + 1, dtype=x.dtype), 2)
+    feats = feats / denom
+  return feats

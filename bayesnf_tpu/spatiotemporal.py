@@ -1,0 +1,436 @@
+"""Public estimator API: BayesianNeuralField{MAP,MLE,VI}.
+
+Surface parity with the reference estimators
+(`/root/reference/src/bayesnf/spatiotemporal.py:195-648`): identical
+constructor keywords, `fit(table, seed, ...)`, `predict(table, quantiles,
+approximate_quantiles)`, and `likelihood_model(table)`, with the same
+`(num_devices, [num_samples,] ensemble_size // num_devices, ...)` shape
+contract on `params_`, `losses_`, and predicted means.
+
+Differences (improvements) over the reference:
+
+- Any `ensemble_size >= 1` works on any device count (reference issue #28);
+  when the ensemble does not divide the device count the public group shape
+  degrades gracefully to `(1, ensemble_size)`.
+- `fit` accepts an optional explicit `mesh` (('ens', 'data')
+  `jax.sharding.Mesh`) for multi-chip ensemble x data sharding.
+- `likelihood_model` returns a lightweight JAX-native distribution object
+  (`bayesnf_tpu.models.distributions`) rather than a TFP distribution; it
+  supports `mean/stddev/variance/log_prob/prob/cdf/sample`.
+"""
+
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from bayesnf_tpu.calendar import seasonalities_to_array
+from bayesnf_tpu.calendar import seasonality_to_float  # noqa: F401  (public)
+from bayesnf_tpu.data import SpatiotemporalDataHandler
+from bayesnf_tpu.inference import map as map_lib
+from bayesnf_tpu.inference import predict as predict_lib
+from bayesnf_tpu.inference import vi as vi_lib
+from bayesnf_tpu.models import distributions as dist_lib
+from bayesnf_tpu.models import field as field_lib
+from bayesnf_tpu.models import likelihoods
+
+
+def _as_key(seed) -> jax.Array:
+  if isinstance(seed, int) or (
+      isinstance(seed, np.integer)
+  ):
+    return jax.random.PRNGKey(int(seed))
+  return seed
+
+
+def _group_shape(ensemble_size: int) -> tuple[int, int]:
+  """Public (num_devices, per_device) factorization of the member axis."""
+  num_devices = jax.device_count()
+  if ensemble_size % num_devices == 0:
+    return (num_devices, ensemble_size // num_devices)
+  return (1, ensemble_size)
+
+
+class BayesianNeuralFieldEstimator:
+  """Base class for BayesNF-TPU estimators.
+
+  Do not instantiate directly; use one of:
+
+  - :class:`BayesianNeuralFieldMAP` — stochastic MAP ensembles.
+  - :class:`BayesianNeuralFieldMLE` — stochastic MLE ensembles.
+  - :class:`BayesianNeuralFieldVI` — ensembles of mean-field surrogate
+    posteriors from variational inference.
+  """
+
+  _ensemble_dims: int
+  _prior_weight: float = 1.0
+  _scale_epochs_by_batch_size: bool = False
+
+  def __init__(
+      self,
+      *,
+      feature_cols: Sequence[str],
+      target_col: str,
+      seasonality_periods: Sequence[float | str] | None = None,
+      num_seasonal_harmonics: Sequence[int] | None = None,
+      fourier_degrees: Sequence[float] | None = None,
+      interactions: Sequence[tuple[int, int]] | None = None,
+      freq: str | None = None,
+      timetype: str = 'index',
+      depth: int = 2,
+      width: int = 512,
+      observation_model: str = 'NORMAL',
+      standardize: Sequence[str] | None = None,
+  ):
+    """Shared initialization; keyword semantics match the reference API.
+
+    Args:
+      feature_cols: column names; the first is the time variable.
+      target_col: name of the target column.
+      seasonality_periods: seasonal periods, as floats (multiples of `freq`)
+        or pandas frequency aliases (with `timetype='index'`).
+      num_seasonal_harmonics: harmonics per seasonal period
+        (`timetype='index'` only).
+      fourier_degrees: Fourier degree per feature column (default 5 each).
+      interactions: pairs of feature-column indices to multiply.
+      freq: pandas frequency alias of the data (iff `timetype='index'`).
+      timetype: 'index' (datetime column) or 'float'.
+      depth: hidden layers.
+      width: hidden units per layer.
+      observation_model: 'NORMAL' | 'NB' | 'ZINB'.
+      standardize: columns to z-score with train stats (not the time column).
+    """
+    self.num_seasonal_harmonics = num_seasonal_harmonics
+    self.seasonality_periods = seasonality_periods
+    self.observation_model = observation_model
+    self.depth = depth
+    self.width = width
+    self.feature_cols = feature_cols
+    self.target_col = target_col
+    self.timetype = timetype
+    self.freq = freq
+    self.fourier_degrees = fourier_degrees
+    self.standardize = standardize
+    self.interactions = interactions
+
+    self.losses_ = None
+    self.params_ = None
+    self.mesh_ = None
+    self.data_handler = SpatiotemporalDataHandler(
+        self.feature_cols,
+        self.target_col,
+        self.timetype,
+        self.freq,
+        standardize=self.standardize,
+    )
+
+  # -- Hyperparameter resolution (parity: spatiotemporal.py:296-370) --------
+
+  def _get_fourier_degrees(self, batch_shape) -> np.ndarray:
+    if self.fourier_degrees is None:
+      fourier_degrees = np.full(batch_shape[-1], 5, dtype=int)
+    else:
+      fourier_degrees = np.atleast_1d(self.fourier_degrees).astype(int)
+      if fourier_degrees.shape[-1] != batch_shape[-1]:
+        raise ValueError(
+            f'The length of fourier_degrees ({fourier_degrees.shape[-1]}) '
+            f'must match the input dimension ({batch_shape[-1]}).'
+        )
+    return fourier_degrees
+
+  def _get_interactions(self) -> np.ndarray:
+    if self.interactions is None:
+      interactions = np.zeros((0, 2), dtype=int)
+    else:
+      interactions = np.array(self.interactions).astype(int)
+      if np.ndim(interactions) != 2 or interactions.shape[-1] != 2:
+        raise ValueError(
+            'The argument for `interactions` should be a 2-d array of'
+            ' integers of shape (N, 2), indicating the column indices to'
+            f' interact (the passed shape was {interactions.shape}).'
+        )
+    return interactions
+
+  def _get_seasonality_periods(self) -> np.ndarray:
+    if (self.timetype == 'index' and self.freq is None) or (
+        self.timetype == 'float' and self.freq is not None
+    ):
+      raise ValueError(f'Invalid freq={self.freq} with timetype={self.timetype}.')
+    if self.seasonality_periods is None:
+      return np.zeros(0)
+    if self.timetype == 'index':
+      return seasonalities_to_array(self.seasonality_periods, self.freq)
+    if self.timetype == 'float':
+      return np.asarray(self.seasonality_periods, dtype=float)
+    raise AssertionError(f'Impossible timetype={self.timetype}.')
+
+  def _get_num_seasonal_harmonics(self) -> np.ndarray:
+    # Discrete time: harmonics are taken as given.
+    if self.timetype == 'index':
+      return (
+          np.array(self.num_seasonal_harmonics)
+          if self.num_seasonal_harmonics is not None
+          else np.zeros(0)
+      )
+    # Continuous time: exactly one harmonic per seasonal factor; any value
+    # in (0, min(.5, p/2)] yields the single base frequency (the reference's
+    # continuous-time hack, spatiotemporal.py:347-357).
+    if self.timetype == 'float':
+      if self.num_seasonal_harmonics is not None:
+        raise ValueError(
+            f'Cannot use num_seasonal_harmonics with timetype={self.timetype}.'
+        )
+      return np.fmin(0.5, self._get_seasonality_periods() / 2)
+    raise AssertionError(f'Impossible timetype={self.timetype}.')
+
+  def _model_args(self, batch_shape):
+    """Reference-shaped model-args dict (for logging and parity checks)."""
+    return {
+        'depth': self.depth,
+        'input_scales': self.data_handler.get_input_scales(),
+        'num_seasonal_harmonics': self._get_num_seasonal_harmonics(),
+        'seasonality_periods': self._get_seasonality_periods(),
+        'width': self.width,
+        'init_x': batch_shape,
+        'fourier_degrees': self._get_fourier_degrees(batch_shape),
+        'interactions': self._get_interactions(),
+    }
+
+  def _field_config(self, batch_shape) -> field_lib.FieldConfig:
+    return field_lib.FieldConfig.create(
+        width=self.width,
+        depth=self.depth,
+        input_scales=self.data_handler.get_input_scales(),
+        fourier_degrees=self._get_fourier_degrees(batch_shape),
+        interactions=self._get_interactions(),
+        seasonality_periods=self._get_seasonality_periods(),
+        num_seasonal_harmonics=self._get_num_seasonal_harmonics(),
+    )
+
+  # -- Prediction ------------------------------------------------------------
+
+  def predict(self, table, quantiles=(0.5,), approximate_quantiles=False):
+    """Predict the target at new field points.
+
+    Args:
+      table: DataFrame of new field locations (target column optional).
+      quantiles: quantiles to compute.
+      approximate_quantiles: moment-matching heuristic instead of
+        root-finding.
+
+    Returns:
+      (means, quantiles): means has the ensemble leading dims
+      `(num_devices, ensemble_size // num_devices, len(table))` (flatten
+      with `np.row_stack`); each quantile array has length `len(table)`.
+    """
+    test_data = self.data_handler.get_test(table)
+    return predict_lib.predict_bnf(
+        test_data,
+        self.observation_model,
+        params=self.params_,
+        config=self._field_config(test_data.shape),
+        quantiles=quantiles,
+        ensemble_dims=self._ensemble_dims,
+        approximate_quantiles=approximate_quantiles,
+    )
+
+  def fit(self, table, seed, **kwargs):
+    raise NotImplementedError('Should be implemented by subclass')
+
+  def likelihood_model(self, table: pd.DataFrame):
+    """Predictive distribution object over the target at new points.
+
+    Must be called after `fit`. Returns an
+    :class:`bayesnf_tpu.models.distributions.Independent` wrapping the
+    observation distribution, with per-member ensemble batch dims.
+    """
+    test_data = self.data_handler.get_test(table)
+    config = self._field_config(test_data.shape)
+    distribution = likelihoods.LikelihoodDist(self.observation_model)
+
+    ens_shape = np.shape(self.params_[0])[: self._ensemble_dims]
+    k = int(np.prod(ens_shape))
+    params_flat = tuple(
+        jnp.asarray(p).reshape((k,) + np.shape(p)[self._ensemble_dims :])
+        for p in self.params_
+    )
+    fp = predict_lib._forecast_params_chunked(  # pylint: disable=protected-access
+        config,
+        distribution,
+        params_flat,
+        jnp.concatenate(
+            [
+                jnp.asarray(test_data, dtype=jnp.float32),
+                field_lib.seasonal_features_for(
+                    config, jnp.asarray(test_data, dtype=jnp.float32)
+                ),
+            ],
+            axis=-1,
+        ),
+    )
+    fp = tuple(f.reshape(ens_shape + f.shape[1:]) for f in fp)
+
+    if distribution == likelihoods.LikelihoodDist.NORMAL:
+      loc, scale = fp
+      base = dist_lib.Normal(loc, scale[..., jnp.newaxis])
+    elif distribution == likelihoods.LikelihoodDist.NB:
+      total_count, logits = fp
+      base = dist_lib.NegativeBinomial(total_count[..., jnp.newaxis], logits)
+    else:
+      total_count, logits, pi = fp
+      base = dist_lib.ZeroInflatedNegativeBinomial(
+          total_count[..., jnp.newaxis], logits, pi
+      )
+    return dist_lib.Independent(base, 1)
+
+
+class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
+  """Stochastic ensembles of maximum-a-posteriori estimates."""
+
+  _ensemble_dims = 2
+
+  def fit(
+      self,
+      table,
+      seed,
+      ensemble_size=16,
+      learning_rate=0.005,
+      num_epochs=5_000,
+      batch_size=None,
+      num_splits=1,
+      mesh=None,
+  ) -> BayesianNeuralFieldEstimator:
+    """Run stochastic ensemble MAP (or MLE) inference.
+
+    Args:
+      table: training DataFrame (see class docs).
+      seed: `jax.random.PRNGKey` (or int).
+      ensemble_size: number of particles; any positive int (issue #28 fixed).
+      learning_rate: Adam learning rate.
+      num_epochs: full passes over the training data.
+      batch_size: SGD batch rows; None = full batch. Each epoch performs
+        `len(table) // batch_size` updates (ragged tail dropped).
+      num_splits: sequential ensemble splits (memory seam).
+      mesh: optional ('ens', 'data') `jax.sharding.Mesh`.
+
+    Returns:
+      self.
+    """
+    seed = _as_key(seed)
+    train_data = self.data_handler.get_train(table)
+    train_target = self.data_handler.get_target(table)
+    if batch_size is None:
+      batch_size = train_data.shape[0]
+    if self._scale_epochs_by_batch_size:
+      num_epochs = num_epochs * (train_data.shape[0] // batch_size)
+    config = self._field_config((batch_size, train_data.shape[-1]))
+
+    train_data = jnp.asarray(train_data, dtype=jnp.float32)
+    seasonal = field_lib.seasonal_features_for(config, train_data)
+    aug = jnp.concatenate([train_data, seasonal], axis=-1)
+
+    params, losses = map_lib.fit_map(
+        aug,
+        train_target,
+        seed=seed,
+        observation_model=self.observation_model,
+        config=config,
+        num_particles=ensemble_size,
+        learning_rate=learning_rate,
+        num_epochs=num_epochs,
+        prior_weight=self._prior_weight,
+        batch_size=batch_size,
+        num_splits=num_splits,
+        mesh=mesh,
+    )
+    g, m = _group_shape(ensemble_size)
+    self.params_ = tuple(p.reshape((g, m) + p.shape[1:]) for p in params)
+    self.losses_ = losses.reshape((g, m) + losses.shape[1:])
+    self.mesh_ = mesh
+    return self
+
+
+class BayesianNeuralFieldMLE(BayesianNeuralFieldMAP):
+  """Stochastic ensembles of maximum likelihood estimates."""
+
+  _prior_weight = 0.0
+
+
+class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
+  """Ensembles of mean-field surrogate posteriors via VI."""
+
+  _ensemble_dims = 3
+  _scale_epochs_by_batch_size = True
+
+  def fit(
+      self,
+      table,
+      seed,
+      ensemble_size=16,
+      learning_rate=0.01,
+      num_epochs=1_000,
+      sample_size_posterior=30,
+      sample_size_divergence=5,
+      kl_weight=0.1,
+      batch_size=None,
+      mesh=None,
+  ) -> BayesianNeuralFieldEstimator:
+    """Run stochastic ensemble variational inference.
+
+    Args:
+      table: training DataFrame.
+      seed: `jax.random.PRNGKey` (or int).
+      ensemble_size: number of surrogate posteriors (total, not per-device —
+        any positive int).
+      learning_rate: Adam learning rate.
+      num_epochs: epochs; total steps = num_epochs * (N // batch_size).
+      sample_size_posterior: parameter draws per surrogate for prediction.
+      sample_size_divergence: MC samples per ELBO estimate.
+      kl_weight: weight of KL(q || prior) in the ELBO.
+      batch_size: per-step batch rows; None = full batch.
+      mesh: optional ('ens', 'data') `jax.sharding.Mesh`.
+
+    Returns:
+      self.
+    """
+    seed = _as_key(seed)
+    train_data = self.data_handler.get_train(table)
+    train_target = self.data_handler.get_target(table)
+    if batch_size is None:
+      batch_size = train_data.shape[0]
+    if self._scale_epochs_by_batch_size:
+      num_epochs = num_epochs * (train_data.shape[0] // batch_size)
+    config = self._field_config((batch_size, train_data.shape[-1]))
+
+    train_data = jnp.asarray(train_data, dtype=jnp.float32)
+    seasonal = field_lib.seasonal_features_for(config, train_data)
+    aug = jnp.concatenate([train_data, seasonal], axis=-1)
+
+    surrogate, losses, draws = vi_lib.fit_vi(
+        aug,
+        train_target,
+        seed=seed,
+        observation_model=self.observation_model,
+        config=config,
+        ensemble_size=ensemble_size,
+        learning_rate=learning_rate,
+        num_epochs=num_epochs,
+        sample_size_divergence=sample_size_divergence,
+        sample_size_posterior=sample_size_posterior,
+        kl_weight=kl_weight,
+        batch_size=batch_size,
+        mesh=mesh,
+    )
+    self.surrogate_ = jax.tree_util.tree_map(np.array, surrogate)
+    g, m = _group_shape(ensemble_size)
+    s = int(sample_size_posterior)
+    # Public contract: (num_devices, num_samples, ensemble_per_device, ...).
+    self.params_ = tuple(
+        np.asarray(p).reshape((g, m, s) + p.shape[2:]).swapaxes(1, 2)
+        for p in draws
+    )
+    self.losses_ = np.asarray(losses).reshape((g, m) + losses.shape[1:])
+    self.mesh_ = mesh
+    return self
