@@ -1,0 +1,107 @@
+"""Headline benchmark: MAP-ensemble training throughput.
+
+Config mirrors the reference's London air-quality tutorial workload
+(BASELINE.md): N=38096 hourly rows, 3 features, width 512, depth 2,
+NORMAL likelihood, daily+weekly seasonal harmonics, full-batch Adam —
+but with a 64-member ensemble trained *simultaneously on one chip*.
+
+Metric: member-steps/sec/chip (one member-step = one full-batch Adam update
+of one ensemble member). Reference baseline: the v3-8 tutorial fits
+ensemble=8 for 5000 epochs in ~180 s => 8*5000/180/8 chips = 27.8
+member-steps/sec/chip (docs/tutorials/BayesNF_Tutorial_on_London_Air_Quality.md:291).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_MEMBER_STEPS_PER_SEC_PER_CHIP = 27.8
+
+
+def main():
+  from bayesnf_tpu.inference import map as map_lib
+  from bayesnf_tpu.models import field as field_lib
+  from bayesnf_tpu.models import likelihoods
+  from bayesnf_tpu.parallel import mesh as mesh_lib
+
+  small = bool(int(os.environ.get('BENCH_SMALL', '0')))
+  n_rows = 2048 if small else 38096
+  width = 128 if small else 512
+  ensemble = 8 if small else 64
+  timed_epochs = 20 if small else 200
+
+  config = field_lib.FieldConfig.create(
+      width=width,
+      depth=2,
+      input_scales=[float(n_rows - 1), 1.0, 1.0],
+      fourier_degrees=[5, 5, 5],
+      interactions=[],
+      seasonality_periods=[24.0, 24.0 * 7],
+      num_seasonal_harmonics=[4, 4],
+  )
+
+  rng = np.random.default_rng(0)
+  t = np.arange(n_rows, dtype=np.float32)
+  space = rng.normal(size=(n_rows, 2)).astype(np.float32)
+  x = np.concatenate([t[:, None], space], axis=-1)
+  y = (
+      10 * np.sin(2 * np.pi * t / 24.0)
+      + 3 * np.sin(2 * np.pi * t / (24.0 * 7))
+      + space[:, 0]
+      + rng.normal(size=n_rows).astype(np.float32)
+  ).astype(np.float32)
+
+  x = jnp.asarray(x)
+  seasonal = field_lib.seasonal_features_for(config, x)
+  aug = jnp.concatenate([x, seasonal], axis=-1)
+  y = jnp.asarray(y)
+  mesh = mesh_lib.default_mesh()
+  n_chips = len(jax.devices())
+
+  def run(num_epochs, seed):
+    params, losses = map_lib.ensemble_map(
+        aug,
+        y,
+        config,
+        likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=ensemble,
+        learning_rate=0.005,
+        num_epochs=num_epochs,
+        seed=jax.random.PRNGKey(seed),
+        batch_size=None,
+        prior_weight=1.0,
+        mesh=mesh,
+    )
+    jax.block_until_ready(losses)
+    return losses
+
+  # Warmup/compile at the same static shape (epoch count is static: compile
+  # once for the timed length).
+  run(timed_epochs, seed=0)
+  start = time.perf_counter()
+  losses = run(timed_epochs, seed=1)
+  elapsed = time.perf_counter() - start
+
+  assert np.all(np.isfinite(np.asarray(losses))), 'non-finite bench loss'
+  member_steps = timed_epochs * ensemble
+  value = member_steps / elapsed / n_chips
+  print(
+      json.dumps({
+          'metric': 'map_member_steps_per_sec_per_chip',
+          'value': round(value, 2),
+          'unit': 'member-steps/s/chip',
+          'vs_baseline': round(
+              value / BASELINE_MEMBER_STEPS_PER_SEC_PER_CHIP, 2
+          ),
+      })
+  )
+
+
+if __name__ == '__main__':
+  main()
