@@ -89,11 +89,14 @@ def nb_variance(total_count, logits):
 def nb_cdf(x, total_count, logits):
   """CDF of the Negative Binomial at (real-valued) x.
 
-  P(X <= x) = I_{sigmoid(-logits)}(total_count, floor(x) + 1), the regularized
-  incomplete beta function. For non-integer x, floor matches the step CDF.
-  Negative x gives 0.
+  P(X <= x) = I_{sigmoid(-logits)}(total_count, 1 + x), the regularized
+  incomplete beta function, evaluated *continuously* in x (no floor) —
+  matching TFP's `NegativeBinomial.cdf`. The continuity matters for the
+  quantile engine: root-finding on a continuous CDF followed by `ceil`
+  recovers the exact integer quantile, whereas a floored step-CDF roots
+  just above the integer and ceils one too high. At integer x both forms
+  agree. Negative x gives 0.
   """
-  x_floor = jnp.floor(x)
-  safe_x = jnp.maximum(x_floor, 0.0)
-  cdf = jsp_special.betainc(total_count, safe_x + 1.0, jax.nn.sigmoid(-logits))
-  return jnp.where(x_floor < 0, jnp.zeros_like(cdf), cdf)
+  safe_x = jnp.maximum(x, 0.0)
+  cdf = jsp_special.betainc(total_count, 1.0 + safe_x, jax.nn.sigmoid(-logits))
+  return jnp.where(x < 0, jnp.zeros_like(cdf), cdf)

@@ -7,9 +7,21 @@ path is what is actually tested.
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+import sys
+
+# Force CPU even if the environment points at a TPU (e.g. JAX_PLATFORMS=axon):
+# the test suite is designed around a deterministic 8-device virtual mesh.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
   os.environ['XLA_FLAGS'] = (
       flags + ' --xla_force_host_platform_device_count=8'
   ).strip()
+
+# Pytest plugins (e.g. jaxtyping) may import jax before this conftest runs,
+# at which point jax has already bound jax_platforms from the environment —
+# override it through the config API too.
+if 'jax' in sys.modules:
+  import jax
+
+  jax.config.update('jax_platforms', 'cpu')

@@ -1,0 +1,199 @@
+"""Public estimator API tests (parity: reference test_spatiotemporal.py:49-120
+plus data-handler behavior and end-to-end shape contracts)."""
+
+import numpy as np
+import pandas as pd
+import jax
+import pytest
+
+from bayesnf_tpu import BayesianNeuralFieldMAP
+from bayesnf_tpu import BayesianNeuralFieldMLE
+from bayesnf_tpu import BayesianNeuralFieldVI
+from bayesnf_tpu.data import SpatiotemporalDataHandler
+
+
+@pytest.mark.parametrize('p, h', [([], []), ([10, 15], [8, 6])])
+def test_get_seasonality_periods_index(p, h):
+  model = BayesianNeuralFieldMAP(
+      freq='D', seasonality_periods=p, num_seasonal_harmonics=h,
+      feature_cols=['t'], target_col='x', timetype='index',
+  )
+  assert np.all(model._get_seasonality_periods() == p)
+  assert np.all(model._get_num_seasonal_harmonics() == h)
+
+
+@pytest.mark.parametrize('p, h', [([], []), ([10, 12, .25], [.5, .5, .125])])
+def test_get_seasonality_periods_float(p, h):
+  model = BayesianNeuralFieldMAP(
+      seasonality_periods=p, feature_cols=['t'], target_col='x',
+      timetype='float',
+  )
+  assert np.all(model._get_seasonality_periods() == p)
+  assert np.all(model._get_num_seasonal_harmonics() == h)
+
+
+def test_invalid_frequency():
+  model = BayesianNeuralFieldMAP(
+      feature_cols=['t'], target_col='x', timetype='index',
+  )
+  with pytest.raises(ValueError):
+    model._get_seasonality_periods()
+  model = BayesianNeuralFieldMAP(
+      freq='M', feature_cols=['t'], target_col='x', timetype='float',
+  )
+  with pytest.raises(ValueError):
+    model._get_seasonality_periods()
+
+
+def test_invalid_seasonality_period():
+  model = BayesianNeuralFieldMAP(
+      seasonality_periods=['W'], feature_cols=['t'], target_col='x',
+      timetype='float',
+  )
+  with pytest.raises(ValueError):
+    model._get_seasonality_periods()
+
+
+def test_invalid_num_seasonal_harmonics():
+  model = BayesianNeuralFieldMAP(
+      seasonality_periods=[1, 5], num_seasonal_harmonics=[0.5, 1],
+      feature_cols=['t'], target_col='x', timetype='float',
+  )
+  with pytest.raises(ValueError):
+    model._get_num_seasonal_harmonics()
+
+
+def test_fourier_degrees_validation():
+  model = BayesianNeuralFieldMAP(
+      feature_cols=['t', 'a'], target_col='x', timetype='float',
+      fourier_degrees=[5],
+  )
+  with pytest.raises(ValueError, match='fourier_degrees'):
+    model._get_fourier_degrees((10, 2))
+  np.testing.assert_array_equal(
+      BayesianNeuralFieldMAP(
+          feature_cols=['t', 'a'], target_col='x', timetype='float'
+      )._get_fourier_degrees((10, 2)),
+      [5, 5],
+  )
+
+
+def test_interactions_validation():
+  model = BayesianNeuralFieldMAP(
+      feature_cols=['t'], target_col='x', timetype='float',
+      interactions=[(0, 1, 2)],
+  )
+  with pytest.raises(ValueError, match='interactions'):
+    model._get_interactions()
+
+
+class TestDataHandler:
+
+  def _table(self):
+    return pd.DataFrame({
+        'datetime': pd.to_datetime(
+            ['2021-01-01', '2021-01-08', '2021-01-15', '2021-01-29']
+        ),
+        'lat': [1.0, 2.0, 3.0, 4.0],
+        'y': [10.0, np.nan, 30.0, 40.0],
+    })
+
+  def test_time_conversion_and_nan_filter(self):
+    h = SpatiotemporalDataHandler(['datetime', 'lat'], 'y', 'index', 'W')
+    train = h.get_train(self._table())
+    # NaN-target row dropped; weekly periods offset to min 0.
+    assert train.shape == (3, 2)
+    np.testing.assert_array_equal(train[:, 0], [0.0, 2.0, 4.0])
+    np.testing.assert_array_equal(h.get_target(self._table()), [10, 30, 40])
+    np.testing.assert_array_equal(h.get_input_scales(), [4.0, 1.0])
+
+  def test_standardization_reuses_train_stats(self):
+    h = SpatiotemporalDataHandler(
+        ['datetime', 'lat'], 'y', 'index', 'W', standardize=['lat']
+    )
+    train = h.get_train(self._table())
+    np.testing.assert_allclose(train[:, 1].mean(), 0.0, atol=1e-12)
+    test_table = self._table().iloc[:2]
+    test = h.get_test(test_table)
+    # Test rows keep train stats (including the NaN row, not filtered).
+    np.testing.assert_allclose(
+        test[:, 1], (np.array([1.0, 2.0]) - h.mu_[1]) / h.std_[1]
+    )
+    assert test.shape == (2, 2)
+
+  def test_time_standardization_rejected(self):
+    h = SpatiotemporalDataHandler(
+        ['datetime', 'lat'], 'y', 'index', 'W', standardize=['datetime']
+    )
+    with pytest.raises(TypeError, match='time column'):
+      h.get_train(self._table())
+
+  def test_float_timetype(self):
+    h = SpatiotemporalDataHandler(['t', 'lat'], 'y', 'float', None)
+    df = pd.DataFrame({'t': [3.0, 5.0, 9.0], 'lat': [0, 1, 2], 'y': [1, 2, 3]})
+    train = h.get_train(df)
+    np.testing.assert_array_equal(train[:, 0], [0.0, 2.0, 6.0])
+
+
+class TestEndToEnd:
+
+  def _df(self, n=100):
+    rng = np.random.default_rng(0)
+    t = np.arange(n, dtype=float) % 40
+    lat = rng.normal(size=n)
+    y = np.sin(2 * np.pi * t / 8) * 4 + lat + 0.1 * rng.normal(size=n)
+    return pd.DataFrame({'time': t, 'lat': lat, 'y': y})
+
+  def _kwargs(self):
+    return dict(
+        width=8, depth=1, seasonality_periods=[8.0],
+        feature_cols=['time', 'lat'], target_col='y',
+        observation_model='NORMAL', timetype='float', standardize=['lat'],
+    )
+
+  def test_map_shapes_and_learning(self):
+    df = self._df()
+    m = BayesianNeuralFieldMAP(**self._kwargs())
+    m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=8, num_epochs=150,
+          learning_rate=0.02)
+    assert m.losses_.shape == (8, 1, 150)
+    means, quants = m.predict(df, quantiles=(0.5, 0.1, 0.9))
+    assert means.shape == (8, 1, 100)
+    yhat = np.asarray(means).mean((0, 1))
+    rmse = np.sqrt(np.mean((yhat - df.y.values) ** 2))
+    assert rmse < 0.8 * df.y.std()
+
+  def test_int_seed_accepted(self):
+    df = self._df(60)
+    m = BayesianNeuralFieldMLE(**self._kwargs())
+    m.fit(df, seed=3, ensemble_size=2, num_epochs=5)
+    assert m.params_[0].shape == (1, 2)
+
+  def test_vi_shapes(self):
+    df = self._df(60)
+    m = BayesianNeuralFieldVI(**self._kwargs())
+    m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=10,
+          sample_size_posterior=5, batch_size=30)
+    # (devices_group, samples, members, ...) with G=1 for E=2 on 8 devices.
+    assert m.params_[0].shape == (1, 5, 2)
+    assert m.losses_.shape == (1, 2, 20)  # 10 epochs * (60 // 30) steps
+    means, _ = m.predict(df, quantiles=(0.5,))
+    assert means.shape == (1, 5, 2, 60)
+
+  def test_likelihood_model(self):
+    df = self._df(50)
+    m = BayesianNeuralFieldMAP(**self._kwargs())
+    m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=20)
+    dist = m.likelihood_model(df)
+    lp = np.asarray(dist.log_prob(df.y.values))
+    assert lp.shape == (1, 2)
+    assert np.all(np.isfinite(lp))
+    samples = np.asarray(dist.sample(jax.random.PRNGKey(1)))
+    assert samples.shape == (1, 2, 50)
+
+  def test_predict_without_target_column(self):
+    df = self._df(50)
+    m = BayesianNeuralFieldMAP(**self._kwargs())
+    m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=10)
+    means, _ = m.predict(df.drop(columns=['y']), quantiles=(0.5,))
+    assert means.shape == (1, 2, 50)

@@ -1,0 +1,237 @@
+"""Trainer and predictor integration tests (fast CPU configs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayesnf_tpu.inference import map as map_lib
+from bayesnf_tpu.inference import predict as predict_lib
+from bayesnf_tpu.inference import vi as vi_lib
+from bayesnf_tpu.models import field as field_lib
+from bayesnf_tpu.models import likelihoods
+from bayesnf_tpu.parallel import mesh as mesh_lib
+
+
+def _small_config(width=8, depth=1):
+  return field_lib.FieldConfig.create(
+      width=width,
+      depth=depth,
+      input_scales=[50.0, 1.0],
+      fourier_degrees=[3, 2],
+      interactions=[],
+      seasonality_periods=[10.0],
+      num_seasonal_harmonics=[2],
+  )
+
+
+def _small_data(n=120, seed=0):
+  rng = np.random.default_rng(seed)
+  t = np.arange(n, dtype=np.float32) % 50
+  s = rng.normal(size=n).astype(np.float32)
+  x = np.stack([t, s], -1)
+  y = (np.sin(2 * np.pi * t / 10) * 3 + s + 0.1 * rng.normal(size=n)).astype(
+      np.float32
+  )
+  return x, y
+
+
+def _aug(config, x):
+  x = jnp.asarray(x)
+  return jnp.concatenate(
+      [x, field_lib.seasonal_features_for(config, x)], axis=-1
+  )
+
+
+class TestEnsembleMap:
+
+  def test_loss_decreases_and_shapes(self):
+    config = _small_config()
+    x, y = _small_data()
+    params, losses = map_lib.ensemble_map(
+        _aug(config, x),
+        y,
+        config,
+        likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=8,
+        learning_rate=0.01,
+        num_epochs=60,
+        seed=jax.random.PRNGKey(0),
+    )
+    assert losses.shape == (8, 60)
+    losses = np.asarray(losses)
+    assert np.all(np.isfinite(losses))
+    assert np.all(losses[:, -1] < losses[:, 0])
+    specs = field_lib.param_specs(config)
+    for spec, p in zip(specs, params):
+      assert p.shape == (8,) + spec.shape
+
+  def test_deterministic_same_seed(self):
+    config = _small_config()
+    x, y = _small_data()
+    run = lambda: map_lib.ensemble_map(
+        _aug(config, x), y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=4, learning_rate=0.01, num_epochs=10,
+        seed=jax.random.PRNGKey(7),
+    )
+    p1, l1 = run()
+    p2, l2 = run()
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    for a, b in zip(p1, p2):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_minibatch_path(self):
+    config = _small_config()
+    x, y = _small_data()
+    params, losses = map_lib.ensemble_map(
+        _aug(config, x), y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=2, learning_rate=0.01, num_epochs=30,
+        seed=jax.random.PRNGKey(1), batch_size=32,
+    )
+    losses = np.asarray(losses)
+    assert np.all(np.isfinite(losses))
+    assert losses[:, -1].mean() < losses[:, 0].mean()
+
+  def test_ensemble_smaller_than_devices(self):
+    # Reference issue #28: errors when ensemble < device count. We pad.
+    config = _small_config()
+    x, y = _small_data()
+    params, losses = map_lib.ensemble_map(
+        _aug(config, x), y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=3, learning_rate=0.01, num_epochs=5,
+        seed=jax.random.PRNGKey(1),
+    )
+    assert losses.shape == (3, 5)
+    assert params[0].shape[0] == 3
+
+  def test_num_splits_concatenates(self):
+    config = _small_config()
+    x, y = _small_data()
+    params, losses = map_lib.fit_map(
+        _aug(config, x), y, jax.random.PRNGKey(0), 'NORMAL', config,
+        num_particles=8, learning_rate=0.01, num_epochs=5, num_splits=2,
+    )
+    assert losses.shape == (8, 5)
+    assert params[0].shape[0] == 8
+    # Splits use folded seeds => different members.
+    assert not np.allclose(losses[:4], losses[4:])
+
+  def test_mle_is_prior_free(self):
+    config = _small_config()
+    x, y = _small_data()
+    common = dict(
+        aug_features=_aug(config, x), target=y, config=config,
+        distribution=likelihoods.LikelihoodDist.NORMAL, ensemble_size=2,
+        learning_rate=0.01, num_epochs=5, seed=jax.random.PRNGKey(0),
+    )
+    _, l_map = map_lib.ensemble_map(prior_weight=1.0, **common)
+    _, l_mle = map_lib.ensemble_map(prior_weight=0.0, **common)
+    # MAP loss includes the prior term: strictly larger in magnitude.
+    assert np.asarray(l_map)[0, 0] > np.asarray(l_mle)[0, 0]
+
+  def test_explicit_data_mesh(self):
+    config = _small_config()
+    x, y = _small_data(n=128)
+    mesh = mesh_lib.default_mesh(data_devices=2)
+    params, losses = map_lib.ensemble_map(
+        _aug(config, x), y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=4, learning_rate=0.01, num_epochs=10,
+        seed=jax.random.PRNGKey(3), mesh=mesh,
+    )
+    assert np.all(np.isfinite(np.asarray(losses)))
+    # Same run on the default (ens-only) mesh: numerically very close
+    # (reduction order may differ across data shards).
+    params2, losses2 = map_lib.ensemble_map(
+        _aug(config, x), y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=4, learning_rate=0.01, num_epochs=10,
+        seed=jax.random.PRNGKey(3),
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(losses2), rtol=1e-3, atol=1e-3
+    )
+
+
+class TestEnsembleVI:
+
+  def test_loss_decreases_and_outputs(self):
+    config = _small_config()
+    x, y = _small_data()
+    surrogate, losses, draws = vi_lib.fit_vi(
+        _aug(config, x), y, jax.random.PRNGKey(0), 'NORMAL', config,
+        ensemble_size=3, learning_rate=0.02, num_epochs=60,
+        sample_size_divergence=3, sample_size_posterior=7, kl_weight=0.2,
+    )
+    losses = np.asarray(losses)
+    assert losses.shape == (3, 60)
+    assert np.all(np.isfinite(losses))
+    assert losses[:, -1].mean() < losses[:, 0].mean()
+    specs = field_lib.param_specs(config)
+    for spec, p in zip(specs, draws):
+      assert p.shape == (3, 7) + spec.shape
+    locs, raw_scales = surrogate
+    assert locs[0].shape == (3,)
+
+  def test_minibatch_vi(self):
+    config = _small_config()
+    x, y = _small_data()
+    _, losses, _ = vi_lib.fit_vi(
+        _aug(config, x), y, jax.random.PRNGKey(0), 'NORMAL', config,
+        ensemble_size=2, learning_rate=0.02, num_epochs=40,
+        batch_size=40, kl_weight=0.1,
+    )
+    assert np.all(np.isfinite(np.asarray(losses)))
+
+
+class TestPredict:
+
+  def _fit(self, config, x, y, e=4):
+    params, _ = map_lib.ensemble_map(
+        _aug(config, x), y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=e, learning_rate=0.01, num_epochs=40,
+        seed=jax.random.PRNGKey(0),
+    )
+    # Public 2-dim ensemble shape.
+    return tuple(np.asarray(p).reshape((2, e // 2) + p.shape[1:]) for p in params)
+
+  def test_chunking_invariance(self):
+    config = _small_config()
+    x, y = _small_data(n=100)
+    params = self._fit(config, x, y)
+    m1, q1 = predict_lib.predict_bnf(
+        x, 'NORMAL', params, config, (0.5,), ensemble_dims=2, chunk_size=16
+    )
+    m2, q2 = predict_lib.predict_bnf(
+        x, 'NORMAL', params, config, (0.5,), ensemble_dims=2, chunk_size=1024
+    )
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(q1[0]), np.asarray(q2[0]), rtol=1e-4, atol=1e-4
+    )
+
+  def test_shapes_and_quantile_order(self):
+    config = _small_config()
+    x, y = _small_data(n=90)
+    params = self._fit(config, x, y)
+    means, quants = predict_lib.predict_bnf(
+        x, 'NORMAL', params, config, (0.5, 0.025, 0.975), ensemble_dims=2
+    )
+    assert means.shape == (2, 2, 90)
+    q50, qlo, qhi = (np.asarray(q) for q in quants)
+    assert q50.shape == (90,)
+    assert np.all(qlo <= q50) and np.all(q50 <= qhi)
+
+  def test_approximate_close_to_exact(self):
+    config = _small_config()
+    x, y = _small_data(n=80)
+    params = self._fit(config, x, y)
+    _, exact = predict_lib.predict_bnf(
+        x, 'NORMAL', params, config, (0.9,), ensemble_dims=2
+    )
+    _, approx = predict_lib.predict_bnf(
+        x, 'NORMAL', params, config, (0.9,), ensemble_dims=2,
+        approximate_quantiles=True,
+    )
+    # Trained members agree closely => mixture ~ Normal => paths agree.
+    np.testing.assert_allclose(
+        np.asarray(exact[0]), np.asarray(approx[0]), rtol=0.15, atol=0.3
+    )
