@@ -1,0 +1,182 @@
+"""Experiment CLI: train + predict on the paper's spatiotemporal datasets.
+
+Artifact parity with the reference harness (`scripts/evaluate.py:50-152`):
+per (objective, dataset, series) run it writes
+
+- ``bnf-{objective}.{dataset}.{series}.log.json`` — runtime + configs,
+- ``...loss.csv``   — per-particle loss curves (columns = particles),
+- ``...pred.csv``   — yhat (ensemble-mean), yhat_p50 / yhat_lower /
+  yhat_upper at quantiles (0.5, 0.025, 0.975), sorted by original index.
+
+Usage:
+  python -m bayesnf_tpu.cli.evaluate --dataset=chickenpox --objective=map \
+      --data_root=/path/to/csvs --output_dir=/tmp/out --start_id=5 --stop_id=6
+
+Input files follow the reference layout: ``{dataset}.{series}.train.csv``
+and ``{dataset}.{series}.test.csv`` with a ``datetime`` column.
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+import pandas as pd
+
+from bayesnf_tpu import spatiotemporal
+from bayesnf_tpu.cli import registry
+from bayesnf_tpu.utils import profiling
+
+_ESTIMATORS = {
+    'map': spatiotemporal.BayesianNeuralFieldMAP,
+    'mle': spatiotemporal.BayesianNeuralFieldMLE,
+    'vi': spatiotemporal.BayesianNeuralFieldVI,
+}
+
+
+def run_experiment(
+    dataset: str,
+    data_root: str,
+    series_id,
+    output_dir: str,
+    objective: str,
+    seed: jax.Array,
+    dataset_config: dict | None = None,
+    model_config: dict | None = None,
+    inference_config: dict | None = None,
+    quantiles=(0.5, 0.025, 0.975),
+):
+  """Train one series, predict train+test, write the three artifacts."""
+  dataset_config = dataset_config or registry.dataset_config(dataset)
+  model_config = dict(model_config or registry.model_config(dataset, objective))
+  inference_config = dict(
+      inference_config or registry.inference_config(dataset, objective)
+  )
+
+  df_train = pd.read_csv(
+      os.path.join(data_root, f'{dataset}.{series_id}.train.csv'),
+      index_col=0,
+      parse_dates=['datetime'],
+  )
+  df_test = pd.read_csv(
+      os.path.join(data_root, f'{dataset}.{series_id}.test.csv'),
+      index_col=0,
+      parse_dates=['datetime'],
+  )
+
+  os.makedirs(output_dir, exist_ok=True)
+  stem = os.path.join(output_dir, f'bnf-{objective}.{dataset}.{series_id}')
+
+  model_config.update(
+      feature_cols=dataset_config['feature_cols'],
+      target_col=dataset_config['target_col'],
+      timetype=dataset_config['timetype'],
+      freq=dataset_config.get('freq'),
+      standardize=dataset_config.get('standardize'),
+  )
+
+  fit_kwargs = dict(
+      learning_rate=inference_config['learning_rate'],
+      num_epochs=inference_config['num_epochs'],
+      batch_size=inference_config.get('batch_size'),
+      ensemble_size=inference_config['num_particles'],
+  )
+  if objective == 'vi':
+    fit_kwargs.update(
+        kl_weight=inference_config.get('kl_weight', 1.0),
+        sample_size_divergence=inference_config.get(
+            'sample_size_divergence', 10
+        ),
+    )
+  else:
+    fit_kwargs.update(
+        num_splits=inference_config.get('num_particle_splits', 1)
+    )
+
+  start = time.perf_counter()
+  with profiling.maybe_trace(os.environ.get('BNF_PROFILE_DIR')):
+    model = _ESTIMATORS[objective](**model_config).fit(
+        df_train, seed, **fit_kwargs
+    )
+    df_all = pd.concat([df_train, df_test])
+    means, quants = model.predict(df_all, quantiles=quantiles)
+  runtime = time.perf_counter() - start
+  losses = model.losses_
+
+  with open(f'{stem}.log.json', 'w') as f:
+    json.dump(
+        {
+            'dataset': dataset,
+            'series_id': series_id,
+            'runtime': runtime,
+            'objective': objective,
+            'dataset_config': dataset_config,
+            'model_config': model_config,
+            'inference_config': inference_config,
+        },
+        f,
+        indent=2,
+        default=repr,
+    )
+
+  loss_df = pd.DataFrame(np.reshape(losses, (-1, losses.shape[-1])).T)
+  loss_df.to_csv(f'{stem}.loss.csv', index=False)
+
+  pred_index = model.data_handler.copy_and_filter_table(df_all).index
+  means = np.asarray(means)
+  pred_df = pd.DataFrame(
+      {
+          'yhat': means.mean(axis=tuple(range(means.ndim - 1))),
+          'yhat_p50': np.asarray(quants[0]),
+          'yhat_lower': np.asarray(quants[1]),
+          'yhat_upper': np.asarray(quants[2]),
+      },
+      index=pred_index,
+  )
+  pred_df.sort_index(inplace=True)
+  pred_df.to_csv(f'{stem}.pred.csv', index=True)
+
+  return losses, means, quants
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument('--output_dir', required=True)
+  parser.add_argument('--data_root', required=True)
+  parser.add_argument(
+      '--dataset', required=True, choices=sorted(registry.REGISTRY)
+  )
+  parser.add_argument(
+      '--objective', default='map', choices=['map', 'mle', 'vi']
+  )
+  parser.add_argument('--start_id', type=int, default=5)
+  parser.add_argument('--stop_id', type=int, default=None)
+  parser.add_argument(
+      '--num_particles', type=int, default=None,
+      help='Override the ensemble size.',
+  )
+  args = parser.parse_args(argv)
+
+  data_cfg = registry.dataset_config(args.dataset)
+  stop_id = args.stop_id if args.stop_id is not None else data_cfg['num_series']
+  for series_id in range(args.start_id, stop_id):
+    inference = registry.inference_config(args.dataset, args.objective)
+    if args.num_particles:
+      inference['num_particles'] = args.num_particles
+    sid = data_cfg['series_id_fmt'](series_id)
+    print(f'{args.dataset} series {sid} ({args.objective})')
+    run_experiment(
+        dataset=args.dataset,
+        data_root=args.data_root,
+        series_id=sid,
+        output_dir=args.output_dir,
+        objective=args.objective,
+        inference_config=inference,
+        seed=jax.random.PRNGKey(2023100400 + series_id),
+    )
+
+
+if __name__ == '__main__':
+  main()

@@ -75,9 +75,7 @@ def _make_train_fn(
       _member_loss, config, distribution, prior_weight, data_size
   )
 
-  def member_train(params, key, aug, target):
-    opt_state = optimizer.init(params)
-
+  def member_train(params, opt_state, key, aug, target):
     def one_step(carry, batch):
       params, opt_state = carry
       aug_b, y_b = batch
@@ -102,27 +100,33 @@ def _make_train_fn(
       )
       return (params, opt_state, key), losses.mean()
 
-    (params, _, _), losses = jax.lax.scan(
+    (params, opt_state, key), losses = jax.lax.scan(
         one_epoch, (params, opt_state, key), None, length=num_epochs
     )
-    return params, losses
+    return params, opt_state, key, losses
 
-  train = jax.vmap(member_train, in_axes=(0, 0, None, None))
+  train = jax.vmap(member_train, in_axes=(0, 0, 0, None, None))
 
   ens = mesh_lib.ensemble_sharding(mesh)
   data = mesh_lib.data_sharding(mesh)
-  num_param_leaves = len(field_lib.param_specs(config))
+  num_leaves = len(field_lib.param_specs(config))
+  params_shard = (ens,) * num_leaves
+  opt_shard = jax.tree_util.tree_map(
+      lambda _: ens, optax.adam(learning_rate).init(
+          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config))
+      )
+  )
   return jax.jit(
       train,
-      in_shardings=(
-          (ens,) * num_param_leaves,
-          ens,
-          data,
-          data,
-      ),
-      out_shardings=((ens,) * num_param_leaves, ens),
-      donate_argnums=(0,),
+      in_shardings=(params_shard, opt_shard, ens, data, data),
+      out_shardings=(params_shard, opt_shard, ens, ens),
+      donate_argnums=(0, 1, 2),
   )
+
+
+def init_opt_state(config, learning_rate, params):
+  """Adam state for a batched (leading member axis) params tuple."""
+  return jax.vmap(optax.adam(learning_rate).init)(tuple(params))
 
 
 def ensemble_map(
@@ -137,6 +141,8 @@ def ensemble_map(
     batch_size: int | None = None,
     prior_weight: float = 1.0,
     mesh=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int | None = None,
 ) -> tuple[tuple, jax.Array]:
   """Train `ensemble_size` independent MAP/MLE members on one mesh.
 
@@ -153,6 +159,12 @@ def ensemble_map(
     batch_size: minibatch rows; None means full batch.
     prior_weight: prior multiplier in the loss (0 == MLE).
     mesh: ('ens', 'data') mesh; defaults to all devices on 'ens'.
+    checkpoint_dir: when set, training runs in `checkpoint_every`-epoch
+      chunks and persists (params, opt state, RNG keys, losses, epoch)
+      after each chunk; an existing checkpoint in the directory resumes
+      the run bit-exactly.
+    checkpoint_every: epochs per checkpoint chunk (default: 10% of
+      num_epochs, at least 1).
 
   Returns:
     (params, losses): params is the flat tuple with leading member axis
@@ -174,23 +186,72 @@ def ensemble_map(
   init_fn = functools.partial(
       field_lib.init_params, config, log_noise_scale_init=log_noise_init
   )
-  init_params = jax.vmap(lambda k: init_fn(k))(init_keys)
+  params = jax.vmap(lambda k: init_fn(k))(init_keys)
+  opt_state = init_opt_state(config, learning_rate, params)
   member_keys = jax.random.split(opt_seed, padded)
 
-  train = _make_train_fn(
-      config,
-      distribution,
-      int(num_epochs),
-      int(batch_size),
-      data_size,
-      float(learning_rate),
-      float(prior_weight),
-      mesh,
-  )
   aug_features = jnp.asarray(aug_features, dtype=jnp.float32)
   target = jnp.asarray(target, dtype=jnp.float32)
-  params, losses = train(tuple(init_params), member_keys, aug_features, target)
 
+  num_epochs = int(num_epochs)
+  start_epoch = 0
+  loss_chunks = []
+
+  checkpointer = None
+  if checkpoint_dir is not None:
+    from bayesnf_tpu.utils import checkpoint as ckpt_lib
+
+    checkpointer = ckpt_lib.TrainCheckpointer(checkpoint_dir)
+    restored = checkpointer.restore_latest()
+    if restored is not None:
+      params = tuple(jnp.asarray(p) for p in restored.params)
+      opt_state = restored.opt_state(template=opt_state)
+      member_keys = jnp.asarray(restored.keys)
+      loss_chunks = [np.asarray(l) for l in restored.losses]
+      start_epoch = restored.epoch
+    if checkpoint_every is None:
+      checkpoint_every = max(1, num_epochs // 10)
+
+  def make_train(chunk_epochs):
+    return _make_train_fn(
+        config,
+        distribution,
+        chunk_epochs,
+        int(batch_size),
+        data_size,
+        float(learning_rate),
+        float(prior_weight),
+        mesh,
+    )
+
+  epoch = start_epoch
+  while epoch < num_epochs:
+    chunk = (
+        num_epochs - epoch
+        if checkpointer is None
+        else min(checkpoint_every, num_epochs - epoch)
+    )
+    params, opt_state, member_keys, losses = make_train(chunk)(
+        tuple(params), opt_state, member_keys, aug_features, target
+    )
+    loss_chunks.append(np.asarray(losses))
+    epoch += chunk
+    if checkpointer is not None and epoch < num_epochs:
+      from bayesnf_tpu.utils import checkpoint as ckpt_lib
+
+      checkpointer.save(
+          ckpt_lib.TrainState.from_opt_state(
+              params=jax.tree_util.tree_map(np.asarray, tuple(params)),
+              opt_state=jax.tree_util.tree_map(np.asarray, opt_state),
+              keys=np.asarray(member_keys),
+              losses=loss_chunks,
+              epoch=epoch,
+          )
+      )
+  if checkpointer is not None:
+    checkpointer.close()
+
+  losses = jnp.concatenate([jnp.asarray(l) for l in loss_chunks], axis=-1)
   if padded != ensemble_size:
     params = tuple(p[:ensemble_size] for p in params)
     losses = losses[:ensemble_size]
@@ -210,8 +271,13 @@ def fit_map(
     batch_size: int | None = None,
     num_splits: int = 1,
     mesh=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int | None = None,
 ) -> tuple[tuple, np.ndarray]:
   """Fit a MAP/MLE ensemble, optionally in sequential memory-bounded splits.
+
+  When `checkpoint_dir` is given, each split checkpoints into its own
+  subdirectory and an interrupted fit resumes where it stopped.
 
   Returns:
     (params, losses) as host numpy, with the flat member axis leading:
@@ -241,6 +307,10 @@ def fit_map(
         batch_size=batch_size,
         prior_weight=prior_weight,
         mesh=mesh,
+        checkpoint_dir=(
+            None if checkpoint_dir is None else f'{checkpoint_dir}/split_{i}'
+        ),
+        checkpoint_every=checkpoint_every,
     )
     params_splits.append(jax.tree_util.tree_map(np.array, params_i))
     losses_splits.append(np.array(losses_i))

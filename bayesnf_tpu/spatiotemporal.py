@@ -301,6 +301,8 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
       batch_size=None,
       num_splits=1,
       mesh=None,
+      checkpoint_dir=None,
+      checkpoint_every=None,
   ) -> BayesianNeuralFieldEstimator:
     """Run stochastic ensemble MAP (or MLE) inference.
 
@@ -314,6 +316,9 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
         `len(table) // batch_size` updates (ragged tail dropped).
       num_splits: sequential ensemble splits (memory seam).
       mesh: optional ('ens', 'data') `jax.sharding.Mesh`.
+      checkpoint_dir: when set, training checkpoints periodically and an
+        interrupted fit resumes bit-exactly from the latest checkpoint.
+      checkpoint_every: epochs between checkpoints (default num_epochs//10).
 
     Returns:
       self.
@@ -344,6 +349,8 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
         batch_size=batch_size,
         num_splits=num_splits,
         mesh=mesh,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
     )
     g, m = _group_shape(ensemble_size)
     self.params_ = tuple(p.reshape((g, m) + p.shape[1:]) for p in params)

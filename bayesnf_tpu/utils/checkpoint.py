@@ -1,0 +1,109 @@
+"""Checkpoint / resume for ensemble training state (orbax-backed).
+
+The reference has no checkpointing (SURVEY.md §5): a fit is one synchronous
+call and any failure loses the run. Here MAP/MLE training can periodically
+persist (params, optimizer state, RNG key, loss history, epoch) and resume
+exactly where it stopped — the loss history and final params of a resumed
+run match an uninterrupted one bit-for-bit (same RNG stream, same scan).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+try:
+  import orbax.checkpoint as ocp
+
+  _HAS_ORBAX = True
+except ImportError:  # pragma: no cover - orbax is in the base image
+  _HAS_ORBAX = False
+
+
+@dataclasses.dataclass
+class TrainState:
+  """Host-side snapshot of an in-flight ensemble training run.
+
+  The optimizer state is stored as *flat leaves*: orbax restores generic
+  pytrees without preserving NamedTuple node types (optax states), so the
+  caller re-unflattens with a treedef built from a freshly-initialized
+  optimizer template (`jax.tree_util.tree_unflatten`).
+  """
+
+  params: tuple
+  opt_leaves: list
+  keys: jax.Array
+  losses: list  # list of (E, chunk) arrays accumulated so far
+  epoch: int
+
+  @classmethod
+  def from_opt_state(cls, params, opt_state, keys, losses, epoch):
+    return cls(
+        params=tuple(params),
+        opt_leaves=jax.tree_util.tree_leaves(opt_state),
+        keys=keys,
+        losses=list(losses),
+        epoch=epoch,
+    )
+
+  def opt_state(self, template):
+    """Rebuild the optimizer state pytree from a same-structure template."""
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp_asarray(l) for l in self.opt_leaves]
+    )
+
+  def to_pytree(self):
+    return {
+        'params': list(self.params),
+        'opt_leaves': list(self.opt_leaves),
+        'keys': self.keys,
+        'losses': list(self.losses),
+        'epoch': np.asarray(self.epoch),
+    }
+
+  @classmethod
+  def from_pytree(cls, tree):
+    return cls(
+        params=tuple(tree['params']),
+        opt_leaves=list(tree['opt_leaves']),
+        keys=tree['keys'],
+        losses=list(tree['losses']),
+        epoch=int(tree['epoch']),
+    )
+
+
+def jnp_asarray(x):
+  import jax.numpy as jnp
+
+  return jnp.asarray(x)
+
+
+class TrainCheckpointer:
+  """Thin orbax CheckpointManager wrapper keyed by epoch."""
+
+  def __init__(self, directory: str, max_to_keep: int = 2):
+    if not _HAS_ORBAX:
+      raise ImportError('orbax-checkpoint is required for checkpointing.')
+    self._manager = ocp.CheckpointManager(
+        directory,
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True
+        ),
+    )
+
+  def save(self, state: TrainState):
+    self._manager.save(
+        state.epoch, args=ocp.args.StandardSave(state.to_pytree())
+    )
+    self._manager.wait_until_finished()
+
+  def restore_latest(self) -> TrainState | None:
+    step = self._manager.latest_step()
+    if step is None:
+      return None
+    tree = self._manager.restore(step)
+    return TrainState.from_pytree(tree)
+
+  def close(self):
+    self._manager.close()

@@ -1,0 +1,67 @@
+"""Checkpoint/resume tests: chunked training matches uninterrupted runs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayesnf_tpu.inference import map as map_lib
+from bayesnf_tpu.models import field as field_lib
+from bayesnf_tpu.models import likelihoods
+
+
+def _setup():
+  config = field_lib.FieldConfig.create(
+      width=8, depth=1, input_scales=[30.0, 1.0], fourier_degrees=[2, 2],
+      interactions=[], seasonality_periods=[], num_seasonal_harmonics=[],
+  )
+  rng = np.random.default_rng(1)
+  x = np.stack(
+      [np.arange(60, dtype=np.float32), rng.normal(size=60).astype(np.float32)],
+      -1,
+  )
+  y = (x[:, 1] + np.sin(x[:, 0] / 5)).astype(np.float32)
+  aug = jnp.concatenate(
+      [jnp.asarray(x), field_lib.seasonal_features_for(config, jnp.asarray(x))],
+      -1,
+  )
+  return config, aug, y
+
+
+def _run(config, aug, y, **kwargs):
+  return map_lib.ensemble_map(
+      aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+      ensemble_size=2, learning_rate=0.01, num_epochs=20,
+      seed=jax.random.PRNGKey(0), batch_size=20, **kwargs,
+  )
+
+
+def test_chunked_checkpointed_run_matches_single_run(tmp_path):
+  config, aug, y = _setup()
+  p_ref, l_ref = _run(config, aug, y)
+  p_ck, l_ck = _run(
+      config, aug, y, checkpoint_dir=str(tmp_path / 'ck'), checkpoint_every=7
+  )
+  np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_ck))
+  for a, b in zip(p_ref, p_ck):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_from_checkpoint_is_bit_exact(tmp_path):
+  config, aug, y = _setup()
+  p_ref, l_ref = _run(config, aug, y)
+
+  # Simulate an interrupted run: train only 14 of 20 epochs, checkpointing
+  # every 7. The final-state checkpoint at epoch 14 remains on disk.
+  ckdir = str(tmp_path / 'ck')
+  map_lib.ensemble_map(
+      aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+      ensemble_size=2, learning_rate=0.01, num_epochs=14,
+      seed=jax.random.PRNGKey(0), batch_size=20,
+      checkpoint_dir=ckdir, checkpoint_every=7,
+  )
+  # Resume to 20 epochs from the on-disk state.
+  p_res, l_res = _run(config, aug, y, checkpoint_dir=ckdir, checkpoint_every=7)
+  np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_res))
+  for a, b in zip(p_ref, p_res):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,82 @@
+"""CLI harness tests: artifact schema parity with the reference
+(`scripts/evaluate.py:119-150`: .log.json / .loss.csv / .pred.csv)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import jax
+import pytest
+
+from bayesnf_tpu.cli import evaluate
+from bayesnf_tpu.cli import registry
+
+_DATA_ROOT = os.path.join(os.path.dirname(__file__), 'test_data')
+
+
+def _mini_inference(objective):
+  cfg = registry.inference_config('chickenpox', objective)
+  cfg.update(num_particles=4, num_epochs=5)
+  if objective == 'vi':
+    cfg.update(num_particles=1, num_epochs=2, batch_size=50)
+  return cfg
+
+
+def _mini_model(objective):
+  cfg = registry.model_config('chickenpox', objective)
+  cfg.update(width=16)
+  return cfg
+
+
+@pytest.mark.parametrize('objective', ['map', 'mle', 'vi'])
+def test_run_experiment_artifacts(tmp_path, objective):
+  losses, means, quants = evaluate.run_experiment(
+      dataset='chickenpox',
+      data_root=_DATA_ROOT,
+      series_id='8',
+      output_dir=str(tmp_path),
+      objective=objective,
+      seed=jax.random.PRNGKey(0),
+      model_config=_mini_model(objective),
+      inference_config=_mini_inference(objective),
+  )
+  stem = str(tmp_path / f'bnf-{objective}.chickenpox.8')
+
+  log = json.loads(open(f'{stem}.log.json').read())
+  assert log['dataset'] == 'chickenpox'
+  assert log['objective'] == objective
+  assert log['runtime'] > 0
+
+  loss_df = pd.read_csv(f'{stem}.loss.csv')
+  n_particles = _mini_inference(objective)['num_particles']
+  assert loss_df.shape[1] == n_particles
+  assert np.all(np.isfinite(loss_df.values))
+
+  pred_df = pd.read_csv(f'{stem}.pred.csv', index_col=0)
+  assert list(pred_df.columns) == [
+      'yhat', 'yhat_p50', 'yhat_lower', 'yhat_upper'
+  ]
+  # train rows (100) + test rows (208), sorted by original index.
+  assert len(pred_df) == 308
+  assert pred_df.index.is_monotonic_increasing
+  # Quantile ordering holds everywhere.
+  assert (pred_df.yhat_lower <= pred_df.yhat_p50).all()
+  assert (pred_df.yhat_p50 <= pred_df.yhat_upper).all()
+
+
+def test_registry_covers_reference_suite():
+  assert sorted(registry.REGISTRY) == [
+      'air', 'air_quality', 'chickenpox', 'coprecip', 'sst', 'wind'
+  ]
+  for name in registry.REGISTRY:
+    for objective in ('map', 'mle', 'vi'):
+      model = registry.model_config(name, objective)
+      assert model['observation_model'] == 'NORMAL'
+      inference = registry.inference_config(name, objective)
+      assert inference['num_particles'] >= 8
+  # Spot checks against the published experiment table.
+  assert registry.inference_config('sst', 'map')['batch_size'] == 221127
+  assert registry.model_config('sst', 'map')['width'] == 768
+  assert registry.inference_config('chickenpox', 'map')['num_particles'] == 64
+  assert registry.dataset_config('sst')['feature_cols'][-1] == 'soi'
