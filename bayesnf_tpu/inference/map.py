@@ -41,13 +41,16 @@ from bayesnf_tpu.parallel import mesh as mesh_lib
 
 
 def _member_loss(
-    config, distribution, prior_weight, data_size, params, aug_batch, y_batch
+    config, distribution, prior_weight, data_size, compute_dtype, params,
+    aug_batch, y_batch
 ):
   """Negative (loglik * N/B + prior_weight * prior) for one member/batch."""
   d = config.num_inputs
   x = aug_batch[:, :d]
   seasonal = aug_batch[:, d:]
-  pred = field_lib.apply_field(config, params, x, seasonal)
+  pred = field_lib.apply_field(
+      config, params, x, seasonal, compute_dtype=compute_dtype
+  )
   scale = data_size / y_batch.shape[0]
   loglik = likelihoods.log_likelihood(distribution, params, pred, y_batch)
   if prior_weight == 0.0:
@@ -67,12 +70,19 @@ def _make_train_fn(
     learning_rate: float,
     prior_weight: float,
     mesh,
+    precision: str = 'f32',
 ):
-  """Build the jitted ensemble training program for one static config."""
+  """Build the jitted ensemble training program for one static config.
+
+  `precision`: 'f32' (default, reference-exact) or 'bf16' (mixed precision:
+  bf16 MXU operands, f32 accumulation and parameters).
+  """
   optimizer = optax.adam(learning_rate)
   num_batches = data_size // batch_size
+  compute_dtype = {'f32': None, 'bf16': jnp.bfloat16}[precision]
   loss_fn = functools.partial(
-      _member_loss, config, distribution, prior_weight, data_size
+      _member_loss, config, distribution, prior_weight, data_size,
+      compute_dtype,
   )
 
   def member_train(params, opt_state, key, aug, target):
@@ -143,6 +153,7 @@ def ensemble_map(
     mesh=None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int | None = None,
+    precision: str = 'f32',
 ) -> tuple[tuple, jax.Array]:
   """Train `ensemble_size` independent MAP/MLE members on one mesh.
 
@@ -165,6 +176,8 @@ def ensemble_map(
       the run bit-exactly.
     checkpoint_every: epochs per checkpoint chunk (default: 10% of
       num_epochs, at least 1).
+    precision: 'f32' (reference-exact) or 'bf16' (bf16 MXU operands with
+      f32 parameters and accumulation; ~2-4x faster on TPU).
 
   Returns:
     (params, losses): params is the flat tuple with leading member axis
@@ -222,6 +235,7 @@ def ensemble_map(
         float(learning_rate),
         float(prior_weight),
         mesh,
+        precision,
     )
 
   epoch = start_epoch
@@ -273,6 +287,7 @@ def fit_map(
     mesh=None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int | None = None,
+    precision: str = 'f32',
 ) -> tuple[tuple, np.ndarray]:
   """Fit a MAP/MLE ensemble, optionally in sequential memory-bounded splits.
 
@@ -311,6 +326,7 @@ def fit_map(
             None if checkpoint_dir is None else f'{checkpoint_dir}/split_{i}'
         ),
         checkpoint_every=checkpoint_every,
+        precision=precision,
     )
     params_splits.append(jax.tree_util.tree_map(np.array, params_i))
     losses_splits.append(np.array(losses_i))

@@ -243,16 +243,29 @@ def apply_field(
     params: tuple,
     x: jax.Array,
     seasonal: jax.Array,
+    compute_dtype=None,
 ) -> jax.Array:
   """Forward pass of one ensemble member: (N, D) inputs -> (N,) predictions.
 
   Vectorize over the ensemble with `jax.vmap(apply_field, (None, 0, None,
   None))`; XLA lowers the per-member matmuls to one batched MXU matmul.
+
+  Args:
+    compute_dtype: optional matmul input dtype (e.g. `jnp.bfloat16` for
+      mixed precision). Parameters stay f32 and every dot accumulates in
+      f32 (`preferred_element_type`); only the MXU operand precision drops.
+      None (default) keeps full f32 — bit-compatible with the reference.
   """
   h = encode(config, params, x, seasonal)
 
   layer_scales = jax.nn.softplus(params[IDX_LAYER_SCALES])
   activation_logit = params[IDX_ACTIVATION_LOGIT]
+
+  def dense(h, kernel, bias):
+    if compute_dtype is not None:
+      h = h.astype(compute_dtype)
+      kernel = kernel.astype(compute_dtype)
+    return jnp.dot(h, kernel, preferred_element_type=jnp.float32) + bias
 
   slot = IDX_FIRST_DENSE
   for layer in range(config.depth):
@@ -261,12 +274,12 @@ def apply_field(
     # 1/sqrt(fan_in) scaling == scaling the weight-prior variance by
     # 1/fan_in (reference models.py:267).
     h = h * jax.lax.rsqrt(jnp.asarray(h.shape[-1], dtype=h.dtype))
-    h = jnp.dot(h, kernel, preferred_element_type=jnp.float32) + bias
-    h = _blend_activation(layer_scales[layer] * h, activation_logit)
+    h = _blend_activation(layer_scales[layer] * dense(h, kernel, bias),
+                          activation_logit)
 
   kernel, bias = params[slot], params[slot + 1]
   h = h * jax.lax.rsqrt(jnp.asarray(h.shape[-1], dtype=h.dtype))
-  out = jnp.dot(h, kernel, preferred_element_type=jnp.float32) + bias
+  out = dense(h, kernel, bias)
   return layer_scales[config.depth] * out[..., 0]
 
 

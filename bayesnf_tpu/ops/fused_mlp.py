@@ -1,0 +1,362 @@
+"""Fused ensemble field-MLP Pallas TPU kernels.
+
+Motivation (measured on v5e, 64-member x 38k-row x width-512 workload): the
+XLA backward pass runs at ~half the forward's MXU efficiency because every
+layer's activations round-trip HBM between the forward and backward
+programs (~0.5 GB/member/step). These kernels keep the whole per-tile
+forward AND backward resident in VMEM:
+
+- grid (E, N/tile): member-major, so each member's weights are DMA'd into
+  VMEM once and reused across all row tiles;
+- the backward kernel *recomputes* the forward for its tile (flash-style)
+  instead of loading stored activations — HBM traffic drops to the encoded
+  inputs plus the weights;
+- weight/bias/scalar gradients are accumulated in VMEM across row tiles
+  via output-block revisiting (init at tile 0, += after).
+
+The op computes, per ensemble member e (cf. reference models.py:263-273):
+
+    h_0 = encoded features (precomputed outside; XLA fuses the encode)
+    for l in 0..depth-1:
+        z_l = s_l * (h_l / sqrt(fan_in) @ W_l + b_l)
+        h_{l+1} = w * elu(z_l) + (1 - w) * tanh(z_l)
+    pred = s_out * (h_depth / sqrt(width) @ W_out + b_out)[:, 0]
+
+with s_l = softplus(layer_scales_raw[l]) and w = sigmoid(activation_logit).
+
+Exposed as `fused_field_mlp` with a custom VJP; gradients match JAX autodiff
+of the pure-JAX model (validated in tests/test_fused_mlp.py).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+  """Run Pallas in interpreter mode off-TPU (CPU tests / debugging)."""
+  return jax.default_backend() != 'tpu'
+
+
+def _elu(z):
+  # expm1 has no Pallas TPU lowering; exp(z) - 1 on the (clamped) negative
+  # branch is within ~1e-7 absolute, negligible for activations.
+  return jnp.where(z > 0, z, jnp.exp(jnp.minimum(z, 0.0)) - 1.0)
+
+
+def _act(z, w):
+  return w * _elu(z) + (1.0 - w) * jnp.tanh(z)
+
+
+def _act_grad(z, w):
+  """(d act/d z, d act/d w) evaluated elementwise."""
+  elu = _elu(z)
+  tanh = jnp.tanh(z)
+  delu = jnp.where(z > 0, jnp.ones_like(z), elu + 1.0)
+  dtanh = 1.0 - tanh * tanh
+  return w * delu + (1.0 - w) * dtanh, elu - tanh
+
+
+def _forward_kernel(depth, rsqrts, h0_ref, *refs):
+  """Forward for one (member, row-tile) grid cell."""
+  num_w = depth + 1
+  w_refs = refs[:num_w]
+  b_refs = refs[num_w : 2 * num_w]
+  scales_ref, logit_ref, pred_ref = refs[2 * num_w : 2 * num_w + 3]
+
+  s = jax.nn.softplus(scales_ref[0, 0])
+  w = jax.nn.sigmoid(logit_ref[0, 0, 0])
+
+  h = h0_ref[0]
+  for l in range(depth):
+    z = s[l] * (
+        jnp.dot(h * rsqrts[l], w_refs[l][0], preferred_element_type=jnp.float32)
+        + b_refs[l][0, 0]
+    )
+    h = _act(z, w)
+  out = s[depth] * (
+      jnp.dot(
+          h * rsqrts[depth], w_refs[depth][0],
+          preferred_element_type=jnp.float32,
+      )
+      + b_refs[depth][0, 0]
+  )
+  pred_ref[0] = out
+
+
+def _backward_kernel(depth, rsqrts, h0_ref, *refs):
+  """Backward for one grid cell: recompute forward, then reverse chain.
+
+  Gradient outputs for weights/biases/scalars are accumulated across the
+  row-tile grid dimension (same output block revisited; zeroed at tile 0).
+  """
+  num_w = depth + 1
+  w_refs = refs[:num_w]
+  b_refs = refs[num_w : 2 * num_w]
+  scales_ref, logit_ref, g_ref = refs[2 * num_w : 2 * num_w + 3]
+  out_refs = refs[2 * num_w + 3 :]
+  dh0_ref = out_refs[0]
+  dw_refs = out_refs[1 : 1 + num_w]
+  db_refs = out_refs[1 + num_w : 1 + 2 * num_w]
+  dscales_ref = out_refs[1 + 2 * num_w]
+  dlogit_ref = out_refs[2 + 2 * num_w]
+
+  t = pl.program_id(1)
+
+  raw_s = scales_ref[0, 0]
+  s = jax.nn.softplus(raw_s)
+  ds_raw = jax.nn.sigmoid(raw_s)  # d softplus(raw)/d raw
+  logit = logit_ref[0, 0, 0]
+  w = jax.nn.sigmoid(logit)
+
+  # --- Recompute forward, keeping pre-matmul inputs and pre-activations.
+  hs = []  # h_l * rsqrt (the matmul LHS per layer)
+  zs = []  # pre-activation z_l
+  h = h0_ref[0]
+  for l in range(depth):
+    lhs = h * rsqrts[l]
+    z = s[l] * (
+        jnp.dot(lhs, w_refs[l][0], preferred_element_type=jnp.float32)
+        + b_refs[l][0, 0]
+    )
+    hs.append(lhs)
+    zs.append(z)
+    h = _act(z, w)
+  lhs_out = h * rsqrts[depth]
+  v_out = (
+      jnp.dot(lhs_out, w_refs[depth][0], preferred_element_type=jnp.float32)
+      + b_refs[depth][0, 0]
+  )
+
+  # --- Backward chain.
+  g = g_ref[0]  # (tile, 1) cotangent of pred
+  ds = [jnp.zeros((), jnp.float32)] * (depth + 1)
+  dlogit_acc = jnp.zeros((), jnp.float32)
+
+  ds[depth] = jnp.sum(g * v_out)
+  dv = g * s[depth]  # (tile, 1)
+  dw_out = jnp.dot(
+      lhs_out.T, dv, preferred_element_type=jnp.float32
+  )
+  db_out = jnp.sum(dv, axis=0)
+  dh = (
+      jnp.dot(dv, w_refs[depth][0].T, preferred_element_type=jnp.float32)
+      * rsqrts[depth]
+  )
+
+  dws = [None] * (depth + 1)
+  dbs = [None] * (depth + 1)
+  dws[depth] = dw_out
+  dbs[depth] = db_out
+
+  for l in reversed(range(depth)):
+    dact_dz, dact_dw = _act_grad(zs[l], w)
+    dlogit_acc = dlogit_acc + jnp.sum(dh * dact_dw)
+    dz = dh * dact_dz
+    ds[l] = jnp.sum(dz * (zs[l] / s[l]))
+    dv = dz * s[l]
+    dws[l] = jnp.dot(hs[l].T, dv, preferred_element_type=jnp.float32)
+    dbs[l] = jnp.sum(dv, axis=0)
+    dh = (
+        jnp.dot(dv, w_refs[l][0].T, preferred_element_type=jnp.float32)
+        * rsqrts[l]
+    )
+
+  dh0_ref[0] = dh
+
+  dscales_tile = jnp.stack(ds) * ds_raw
+  dlogit_tile = dlogit_acc * w * (1.0 - w)
+
+  dscales_2d = dscales_tile[None, :]
+  dlogit_2d = dlogit_tile[None, None]
+
+  @pl.when(t == 0)
+  def _():
+    for l in range(depth + 1):
+      dw_refs[l][0] = dws[l]
+      db_refs[l][0] = dbs[l][None, :]
+    dscales_ref[0] = dscales_2d
+    dlogit_ref[0] = dlogit_2d
+
+  @pl.when(t != 0)
+  def _():
+    for l in range(depth + 1):
+      dw_refs[l][0] += dws[l]
+      db_refs[l][0] += dbs[l][None, :]
+    dscales_ref[0] += dscales_2d
+    dlogit_ref[0] += dlogit_2d
+
+
+def _pad_rows(x, tile):
+  n = x.shape[1]
+  padded = math.ceil(n / tile) * tile
+  if padded == n:
+    return x
+  return jnp.pad(x, ((0, 0), (0, padded - n)) + ((0, 0),) * (x.ndim - 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_field_mlp(depth, tile, h0, weights, biases, scales_raw, logit):
+  """Fused ensemble MLP forward: (E, N, F) encoded inputs -> (E, N) preds.
+
+  Args:
+    depth: number of hidden layers (static).
+    tile: row-tile size (static; 512 is a good default).
+    h0: (E, N, F) encoded features per member.
+    weights: tuple of depth+1 arrays (E, fan_in_l, fan_out_l).
+    biases: tuple of depth+1 arrays (E, fan_out_l).
+    scales_raw: (E, depth+1) pre-softplus layer scales.
+    logit: (E,) activation-blend logits.
+
+  Returns:
+    (E, N) predictions.
+  """
+  return _forward(depth, tile, h0, weights, biases, scales_raw, logit)
+
+
+def _specs_common(depth, tile, e, f, widths):
+  """(in_specs for h0+weights+biases+scalars, dims) shared by fwd/bwd."""
+  del e
+  fan_ins = [f] + list(widths[:-1])
+  w_specs = [
+      pl.BlockSpec(
+          (1, fan_ins[l], widths[l]),
+          lambda e_, t_, l=l: (e_, 0, 0),
+          memory_space=pltpu.VMEM,
+      )
+      for l in range(depth + 1)
+  ]
+  b_specs = [
+      pl.BlockSpec(
+          (1, 1, widths[l]),
+          lambda e_, t_, l=l: (e_, 0, 0),
+          memory_space=pltpu.VMEM,
+      )
+      for l in range(depth + 1)
+  ]
+  h0_spec = pl.BlockSpec(
+      (1, tile, f), lambda e_, t_: (e_, t_, 0), memory_space=pltpu.VMEM
+  )
+  scales_spec = pl.BlockSpec(
+      (1, 1, depth + 1), lambda e_, t_: (e_, 0, 0), memory_space=pltpu.VMEM
+  )
+  logit_spec = pl.BlockSpec(
+      (1, 1, 1), lambda e_, t_: (e_, 0, 0), memory_space=pltpu.VMEM
+  )
+  rows_spec = pl.BlockSpec(
+      (1, tile, 1), lambda e_, t_: (e_, t_, 0), memory_space=pltpu.VMEM
+  )
+  return h0_spec, w_specs, b_specs, scales_spec, logit_spec, rows_spec, fan_ins
+
+
+def _forward(depth, tile, h0, weights, biases, scales_raw, logit):
+  e, n, f = h0.shape
+  widths = [w.shape[-1] for w in weights]
+  rsqrts = tuple(
+      1.0 / math.sqrt(fi) for fi in [f] + list(widths[:-1])
+  )
+
+  h0p = _pad_rows(h0, tile)
+  npad = h0p.shape[1]
+  grid = (e, npad // tile)
+
+  h0_spec, w_specs, b_specs, scales_spec, logit_spec, rows_spec, _ = (
+      _specs_common(depth, tile, e, f, widths)
+  )
+  pred = pl.pallas_call(
+      functools.partial(_forward_kernel, depth, rsqrts),
+      grid=grid,
+      in_specs=[h0_spec, *w_specs, *b_specs, scales_spec, logit_spec],
+      out_specs=rows_spec,
+      out_shape=jax.ShapeDtypeStruct((e, npad, 1), jnp.float32),
+      interpret=_interpret(),
+  )(
+      h0p,
+      *weights,
+      *[b[:, None, :] for b in biases],
+      scales_raw[:, None, :],
+      logit[:, None, None],
+  )
+  return pred[:, :n, 0]
+
+
+def _forward_fwd(depth, tile, h0, weights, biases, scales_raw, logit):
+  pred = _forward(depth, tile, h0, weights, biases, scales_raw, logit)
+  return pred, (h0, weights, biases, scales_raw, logit)
+
+
+def _forward_bwd(depth, tile, residuals, g):
+  h0, weights, biases, scales_raw, logit = residuals
+  e, n, f = h0.shape
+  widths = [w.shape[-1] for w in weights]
+  rsqrts = tuple(1.0 / math.sqrt(fi) for fi in [f] + list(widths[:-1]))
+
+  h0p = _pad_rows(h0, tile)
+  gp = _pad_rows(g, tile)
+  npad = h0p.shape[1]
+  grid = (e, npad // tile)
+
+  h0_spec, w_specs, b_specs, scales_spec, logit_spec, rows_spec, fan_ins = (
+      _specs_common(depth, tile, e, f, widths)
+  )
+  dw_specs = [
+      pl.BlockSpec(
+          (1, fan_ins[l], widths[l]),
+          lambda e_, t_, l=l: (e_, 0, 0),
+          memory_space=pltpu.VMEM,
+      )
+      for l in range(depth + 1)
+  ]
+  out_shapes = (
+      [jax.ShapeDtypeStruct((e, npad, f), jnp.float32)]
+      + [
+          jax.ShapeDtypeStruct((e, fan_ins[l], widths[l]), jnp.float32)
+          for l in range(depth + 1)
+      ]
+      + [
+          jax.ShapeDtypeStruct((e, 1, widths[l]), jnp.float32)
+          for l in range(depth + 1)
+      ]
+      + [
+          jax.ShapeDtypeStruct((e, 1, depth + 1), jnp.float32),
+          jax.ShapeDtypeStruct((e, 1, 1), jnp.float32),
+      ]
+  )
+  out_specs = (
+      [h0_spec]
+      + dw_specs
+      + list(b_specs)
+      + [scales_spec, logit_spec]
+  )
+  outs = pl.pallas_call(
+      functools.partial(_backward_kernel, depth, rsqrts),
+      grid=grid,
+      in_specs=[
+          h0_spec, *w_specs, *b_specs, scales_spec, logit_spec, rows_spec
+      ],
+      out_specs=out_specs,
+      out_shape=out_shapes,
+      interpret=_interpret(),
+  )(
+      h0p,
+      *weights,
+      *[b[:, None, :] for b in biases],
+      scales_raw[:, None, :],
+      logit[:, None, None],
+      gp[:, :, None],
+  )
+
+  dh0 = outs[0][:, :n]
+  num_w = depth + 1
+  dweights = tuple(outs[1 : 1 + num_w])
+  dbiases = tuple(o[:, 0, :] for o in outs[1 + num_w : 1 + 2 * num_w])
+  dscales = outs[1 + 2 * num_w][:, 0, :]
+  dlogit = outs[2 + 2 * num_w][:, 0, 0]
+  return dh0, dweights, dbiases, dscales, dlogit
+
+
+fused_field_mlp.defvjp(_forward_fwd, _forward_bwd)

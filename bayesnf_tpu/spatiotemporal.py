@@ -303,6 +303,7 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
       mesh=None,
       checkpoint_dir=None,
       checkpoint_every=None,
+      precision='f32',
   ) -> BayesianNeuralFieldEstimator:
     """Run stochastic ensemble MAP (or MLE) inference.
 
@@ -319,6 +320,8 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
       checkpoint_dir: when set, training checkpoints periodically and an
         interrupted fit resumes bit-exactly from the latest checkpoint.
       checkpoint_every: epochs between checkpoints (default num_epochs//10).
+      precision: 'f32' (default, reference-exact) or 'bf16' (mixed
+        precision matmuls; ~2-4x faster on TPU, slight numeric drift).
 
     Returns:
       self.
@@ -351,6 +354,7 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
         mesh=mesh,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
+        precision=precision,
     )
     g, m = _group_shape(ensemble_size)
     self.params_ = tuple(p.reshape((g, m) + p.shape[1:]) for p in params)
