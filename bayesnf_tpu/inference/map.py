@@ -139,6 +139,143 @@ def init_opt_state(config, learning_rate, params):
   return jax.vmap(optax.adam(learning_rate).init)(tuple(params))
 
 
+@functools.lru_cache(maxsize=32)
+def _make_pallas_train_fn(
+    config: field_lib.FieldConfig,
+    distribution: likelihoods.LikelihoodDist,
+    num_epochs: int,
+    batch_size: int,
+    data_size: int,
+    learning_rate: float,
+    prior_weight: float,
+    mesh,
+    tile: int = 512,
+):
+  """Ensemble training step backed by the fused Pallas MLP kernels.
+
+  Differences from the XLA path: the loss/grad is computed for the whole
+  (local) ensemble at once — encode via vmap, MLP via
+  `ops.fused_mlp.fused_field_mlp` (custom VJP) — and the program is wrapped
+  in `jax.shard_map` over the mesh's 'ens' axis (Pallas calls cannot be
+  GSPMD-partitioned automatically). Requires data_devices == 1.
+  """
+  from bayesnf_tpu.ops import fused_mlp
+
+  if mesh.shape[mesh_lib.DATA_AXIS] != 1:
+    raise ValueError("backend='pallas' requires a mesh with data axis 1.")
+
+  optimizer = optax.adam(learning_rate)
+  num_batches = data_size // batch_size
+  d = config.num_inputs
+  num_w = config.depth + 1
+  full_batch = batch_size == data_size
+
+  def ensemble_losses(params_b, aug_b, y_b):
+    """(E,) per-member losses; aug_b (B,F) shared or (E,B,F) per member."""
+    encode = lambda p, a: field_lib.encode(config, p, a[:, :d], a[:, d:])
+    if aug_b.ndim == 2:
+      h0 = jax.vmap(encode, in_axes=(0, None))(params_b, aug_b)
+    else:
+      h0 = jax.vmap(encode)(params_b, aug_b)
+    weights = tuple(
+        params_b[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w)
+    )
+    biases = tuple(
+        params_b[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w)
+    )
+    pred = fused_mlp.fused_field_mlp(
+        config.depth,
+        tile,
+        h0,
+        weights,
+        biases,
+        params_b[field_lib.IDX_LAYER_SCALES],
+        params_b[field_lib.IDX_ACTIVATION_LOGIT],
+    )
+    y_axes = None if y_b.ndim == 1 else 0
+    loglik = jax.vmap(
+        lambda p, pr, y: likelihoods.log_likelihood(distribution, p, pr, y),
+        in_axes=(0, 0, y_axes),
+    )(params_b, pred, y_b)
+    loss = -loglik * (data_size / batch_size)
+    if prior_weight != 0.0:
+      prior = jax.vmap(lambda p: priors.prior_log_prob(config, p))(params_b)
+      loss = loss - prior_weight * prior
+    return loss
+
+  # Rematerialize: without this, autodiff stores every encode intermediate
+  # (~(E, N, encoded_dim) and friends) between forward and backward — at
+  # bench scale (64 x 38k) that exceeds one chip's HBM. With remat the
+  # backward recomputes encode + the fused forward per use.
+  ensemble_losses_r = jax.checkpoint(
+      ensemble_losses, policy=jax.checkpoint_policies.nothing_saveable
+  )
+
+  def total_loss(params_b, aug_b, y_b):
+    losses = ensemble_losses_r(params_b, aug_b, y_b)
+    return losses.sum(), losses
+
+  def shard_train(params_b, opt_b, keys_b, aug, target):
+    def one_step(carry, batch):
+      params_b, opt_b = carry
+      aug_b, y_b = batch
+      (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(
+          params_b, aug_b, y_b
+      )
+      updates, opt_b = jax.vmap(optimizer.update)(grads, opt_b)
+      params_b = optax.apply_updates(params_b, updates)
+      return (tuple(params_b), opt_b), losses
+
+    def one_epoch(carry, _):
+      params_b, opt_b, keys_b = carry
+      split = jax.vmap(functools.partial(jax.random.split, num=2))(keys_b)
+      keys_b, permute_keys = split[:, 0], split[:, 1]
+      if full_batch:
+        aug_e = aug[jnp.newaxis]
+        y_e = target[jnp.newaxis]
+      else:
+        keep = num_batches * batch_size
+        idx = jax.vmap(
+            lambda k: jax.random.permutation(k, data_size)[:keep]
+        )(permute_keys)  # (E, keep)
+        aug_e = jnp.moveaxis(
+            aug[idx].reshape(idx.shape[0], num_batches, batch_size, -1), 1, 0
+        )  # (nb, E, B, F)
+        y_e = jnp.moveaxis(
+            target[idx].reshape(idx.shape[0], num_batches, batch_size), 1, 0
+        )
+      (params_b, opt_b), losses = jax.lax.scan(
+          one_step, (params_b, opt_b), (aug_e, y_e)
+      )
+      return (params_b, opt_b, keys_b), losses.mean(axis=0)
+
+    (params_b, opt_b, keys_b), losses = jax.lax.scan(
+        one_epoch, (params_b, opt_b, keys_b), None, length=num_epochs
+    )
+    # losses: (num_epochs, E_local) -> (E_local, num_epochs)
+    return params_b, opt_b, keys_b, losses.T
+
+  num_leaves = len(field_lib.param_specs(config))
+  p_ens = jax.sharding.PartitionSpec(mesh_lib.ENSEMBLE_AXIS)
+  p_rep = jax.sharding.PartitionSpec()
+  params_spec = (p_ens,) * num_leaves
+  opt_spec = jax.tree_util.tree_map(
+      lambda _: p_ens,
+      optax.adam(learning_rate).init(
+          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config))
+      ),
+  )
+  sharded = jax.shard_map(
+      shard_train,
+      mesh=mesh,
+      in_specs=(params_spec, opt_spec, p_ens, p_rep, p_rep),
+      out_specs=(params_spec, opt_spec, p_ens, p_ens),
+      # Pallas out_shapes carry no varying-mesh-axes metadata; skip the check.
+      check_vma=False,
+  )
+  return jax.jit(sharded, donate_argnums=(0, 1, 2))
+
+
 def ensemble_map(
     aug_features: jax.Array,
     target: jax.Array,
@@ -154,6 +291,7 @@ def ensemble_map(
     checkpoint_dir: str | None = None,
     checkpoint_every: int | None = None,
     precision: str = 'f32',
+    backend: str = 'xla',
 ) -> tuple[tuple, jax.Array]:
   """Train `ensemble_size` independent MAP/MLE members on one mesh.
 
@@ -177,7 +315,9 @@ def ensemble_map(
     checkpoint_every: epochs per checkpoint chunk (default: 10% of
       num_epochs, at least 1).
     precision: 'f32' (reference-exact) or 'bf16' (bf16 MXU operands with
-      f32 parameters and accumulation; ~2-4x faster on TPU).
+      f32 parameters and accumulation).
+    backend: 'xla' (default) or 'pallas' (fused Pallas MLP kernels via
+      shard_map over the 'ens' axis; requires data axis 1 and f32).
 
   Returns:
     (params, losses): params is the flat tuple with leading member axis
@@ -226,6 +366,21 @@ def ensemble_map(
       checkpoint_every = max(1, num_epochs // 10)
 
   def make_train(chunk_epochs):
+    if backend == 'pallas':
+      if precision != 'f32':
+        raise ValueError("backend='pallas' currently supports precision='f32'.")
+      return _make_pallas_train_fn(
+          config,
+          distribution,
+          chunk_epochs,
+          int(batch_size),
+          data_size,
+          float(learning_rate),
+          float(prior_weight),
+          mesh,
+      )
+    if backend != 'xla':
+      raise ValueError(f'Unknown backend: {backend!r}')
     return _make_train_fn(
         config,
         distribution,
@@ -288,6 +443,7 @@ def fit_map(
     checkpoint_dir: str | None = None,
     checkpoint_every: int | None = None,
     precision: str = 'f32',
+    backend: str = 'xla',
 ) -> tuple[tuple, np.ndarray]:
   """Fit a MAP/MLE ensemble, optionally in sequential memory-bounded splits.
 
@@ -327,6 +483,7 @@ def fit_map(
         ),
         checkpoint_every=checkpoint_every,
         precision=precision,
+        backend=backend,
     )
     params_splits.append(jax.tree_util.tree_map(np.array, params_i))
     losses_splits.append(np.array(losses_i))

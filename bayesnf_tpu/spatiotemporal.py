@@ -304,6 +304,7 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
       checkpoint_dir=None,
       checkpoint_every=None,
       precision='f32',
+      backend='xla',
   ) -> BayesianNeuralFieldEstimator:
     """Run stochastic ensemble MAP (or MLE) inference.
 
@@ -321,7 +322,8 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
         interrupted fit resumes bit-exactly from the latest checkpoint.
       checkpoint_every: epochs between checkpoints (default num_epochs//10).
       precision: 'f32' (default, reference-exact) or 'bf16' (mixed
-        precision matmuls; ~2-4x faster on TPU, slight numeric drift).
+        precision matmuls; slight numeric drift).
+      backend: 'xla' (default) or 'pallas' (fused Pallas MLP kernels).
 
     Returns:
       self.
@@ -355,6 +357,7 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         precision=precision,
+        backend=backend,
     )
     g, m = _group_shape(ensemble_size)
     self.params_ = tuple(p.reshape((g, m) + p.shape[1:]) for p in params)

@@ -235,3 +235,38 @@ class TestPredict:
     np.testing.assert_allclose(
         np.asarray(exact[0]), np.asarray(approx[0]), rtol=0.15, atol=0.3
     )
+
+
+class TestPallasBackend:
+
+  def test_matches_xla_backend(self):
+    config = _small_config(width=16, depth=2)
+    x, y = _small_data(n=96)
+    common = dict(
+        aug_features=_aug(config, x), target=y, config=config,
+        distribution=likelihoods.LikelihoodDist.NORMAL, ensemble_size=2,
+        learning_rate=0.01, num_epochs=8, seed=jax.random.PRNGKey(0),
+    )
+    p_x, l_x = map_lib.ensemble_map(backend='xla', **common)
+    p_p, l_p = map_lib.ensemble_map(backend='pallas', **common)
+    l_x, l_p = np.asarray(l_x), np.asarray(l_p)
+    # Same math, same RNG; only matmul tiling differs (f32 tolerance).
+    np.testing.assert_allclose(l_x[:, 0], l_p[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(l_x, l_p, rtol=1e-3)
+    for a, b in zip(p_x, p_p):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3
+      )
+
+  def test_minibatch_pallas(self):
+    config = _small_config(width=16, depth=1)
+    x, y = _small_data(n=96)
+    params, losses = map_lib.ensemble_map(
+        _aug(config, x), y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=3, learning_rate=0.01, num_epochs=12,
+        seed=jax.random.PRNGKey(1), batch_size=32, backend='pallas',
+    )
+    losses = np.asarray(losses)
+    assert losses.shape == (3, 12)
+    assert np.all(np.isfinite(losses))
+    assert losses[:, -1].mean() < losses[:, 0].mean()
