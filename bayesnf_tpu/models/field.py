@@ -261,10 +261,16 @@ def apply_field(
   layer_scales = jax.nn.softplus(params[IDX_LAYER_SCALES])
   activation_logit = params[IDX_ACTIVATION_LOGIT]
 
+  if compute_dtype is not None and compute_dtype != jnp.bfloat16:
+    raise ValueError(f'Unsupported compute_dtype: {compute_dtype}')
+
   def dense(h, kernel, bias):
     if compute_dtype is not None:
-      h = h.astype(compute_dtype)
-      kernel = kernel.astype(compute_dtype)
+      # Custom-VJP matmul: forward AND backward run bf16 on the MXU
+      # (a plain cast only accelerates the forward; see ops/mixed.py).
+      from bayesnf_tpu.ops import mixed
+
+      return mixed.matmul_bf16(h, kernel) + bias
     return jnp.dot(h, kernel, preferred_element_type=jnp.float32) + bias
 
   slot = IDX_FIRST_DENSE
