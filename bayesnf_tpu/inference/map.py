@@ -42,14 +42,19 @@ from bayesnf_tpu.parallel import mesh as mesh_lib
 
 def _member_loss(
     config, distribution, prior_weight, data_size, compute_dtype, params,
-    aug_batch, y_batch
+    aug_batch_t, y_batch
 ):
-  """Negative (loglik * N/B + prior_weight * prior) for one member/batch."""
+  """Negative (loglik * N/B + prior_weight * prior) for one member/batch.
+
+  `aug_batch_t` is features-major, shape (D + 2F, B): the transposed layout
+  keeps the large row axis on the TPU lane dimension (see
+  `field.apply_field_t`).
+  """
   d = config.num_inputs
-  x = aug_batch[:, :d]
-  seasonal = aug_batch[:, d:]
-  pred = field_lib.apply_field(
-      config, params, x, seasonal, compute_dtype=compute_dtype
+  x_t = aug_batch_t[:d]
+  seasonal_t = aug_batch_t[d:]
+  pred = field_lib.apply_field_t(
+      config, params, x_t, seasonal_t, compute_dtype=compute_dtype
   )
   scale = data_size / y_batch.shape[0]
   loglik = likelihoods.log_likelihood(distribution, params, pred, y_batch)
@@ -71,25 +76,80 @@ def _make_train_fn(
     prior_weight: float,
     mesh,
     precision: str = 'f32',
+    grad_row_chunk: int = 8192,
 ):
   """Build the jitted ensemble training program for one static config.
 
   `precision`: 'f32' (default, reference-exact) or 'bf16' (mixed precision:
   bf16 MXU operands, f32 accumulation and parameters).
+
+  `grad_row_chunk`: rows per gradient-accumulation chunk. Each SGD step
+  computes its gradient by scanning over row chunks and summing — exact
+  (the loss is a sum over rows), but the live activation footprint is one
+  (width, chunk) buffer instead of (width, batch), which keeps arbitrarily
+  large batches (e.g. the sst config's 221k-row full batch x 64 members)
+  inside HBM.
   """
   optimizer = optax.adam(learning_rate)
   num_batches = data_size // batch_size
   compute_dtype = {'f32': None, 'bf16': jnp.bfloat16}[precision]
-  loss_fn = functools.partial(
-      _member_loss, config, distribution, prior_weight, data_size,
-      compute_dtype,
-  )
+  d = config.num_inputs
+  lik_scale = data_size / batch_size
+  num_chunks = max(1, -(-batch_size // grad_row_chunk))
+  padded_rows = num_chunks * grad_row_chunk
 
-  def member_train(params, opt_state, key, aug, target):
+  def chunk_loglik(params, aug_ct, y_c, w_c):
+    pred = field_lib.apply_field_t(
+        config, params, aug_ct[:d], aug_ct[d:], compute_dtype=compute_dtype
+    )
+    return -lik_scale * likelihoods.log_likelihood(
+        distribution, params, pred, y_c, weights=w_c
+    )
+
+  def prior_loss(params):
+    if prior_weight == 0.0:
+      return jnp.zeros((), jnp.float32)
+    return -prior_weight * priors.prior_log_prob(config, params)
+
+  def step_value_and_grad(params, aug_bt, y_b):
+    """Loss and gradient for one SGD batch via chunked accumulation."""
+    if num_chunks == 1:
+      def whole(params):
+        return chunk_loglik(params, aug_bt, y_b, None) + prior_loss(params)
+
+      return jax.value_and_grad(whole)(params)
+
+    pad = padded_rows - batch_size
+    aug_p = jnp.pad(aug_bt, ((0, 0), (0, pad)))
+    y_p = jnp.pad(y_b, (0, pad))
+    w_p = jnp.pad(jnp.ones_like(y_b), (0, pad))
+    aug_c = jnp.moveaxis(
+        aug_p.reshape(-1, num_chunks, grad_row_chunk), 1, 0
+    )
+    y_c = y_p.reshape(num_chunks, grad_row_chunk)
+    w_c = w_p.reshape(num_chunks, grad_row_chunk)
+
+    loss0, grads0 = jax.value_and_grad(prior_loss)(params)
+
+    def body(carry, chunk):
+      loss_acc, grad_acc = carry
+      a, yy, ww = chunk
+      l, g = jax.value_and_grad(chunk_loglik)(params, a, yy, ww)
+      return (
+          loss_acc + l,
+          jax.tree_util.tree_map(jnp.add, grad_acc, g),
+      ), None
+
+    (loss, grads), _ = jax.lax.scan(
+        body, (loss0, grads0), (aug_c, y_c, w_c)
+    )
+    return loss, grads
+
+  def member_train(params, opt_state, key, aug_t, target):
     def one_step(carry, batch):
       params, opt_state = carry
-      aug_b, y_b = batch
-      loss, grads = jax.value_and_grad(loss_fn)(params, aug_b, y_b)
+      aug_bt, y_b = batch
+      loss, grads = step_value_and_grad(params, aug_bt, y_b)
       updates, opt_state = optimizer.update(grads, opt_state)
       params = optax.apply_updates(params, updates)
       return (params, opt_state), loss
@@ -100,10 +160,12 @@ def _make_train_fn(
       if batch_size < data_size:
         perm = jax.random.permutation(permute_key, data_size)
         keep = num_batches * batch_size
-        aug_e = aug[perm[:keep]].reshape(num_batches, batch_size, -1)
+        aug_e = jnp.moveaxis(
+            aug_t[:, perm[:keep]].reshape(-1, num_batches, batch_size), 1, 0
+        )  # (num_batches, D + 2F, batch)
         y_e = target[perm[:keep]].reshape(num_batches, batch_size)
       else:
-        aug_e = aug[jnp.newaxis]
+        aug_e = aug_t[jnp.newaxis]
         y_e = target[jnp.newaxis]
       (params, opt_state), losses = jax.lax.scan(
           one_step, (params, opt_state), (aug_e, y_e)
@@ -119,6 +181,7 @@ def _make_train_fn(
 
   ens = mesh_lib.ensemble_sharding(mesh)
   data = mesh_lib.data_sharding(mesh)
+  data_t = mesh_lib.data_sharding_t(mesh)  # rows are axis 1 of aug_t
   num_leaves = len(field_lib.param_specs(config))
   params_shard = (ens,) * num_leaves
   opt_shard = jax.tree_util.tree_map(
@@ -128,7 +191,7 @@ def _make_train_fn(
   )
   return jax.jit(
       train,
-      in_shardings=(params_shard, opt_shard, ens, data, data),
+      in_shardings=(params_shard, opt_shard, ens, data_t, data),
       out_shardings=(params_shard, opt_shard, ens, ens),
       donate_argnums=(0, 1, 2),
   )
@@ -149,6 +212,7 @@ def _make_pallas_train_fn(
     learning_rate: float,
     prior_weight: float,
     mesh,
+    precision: str = 'f32',
     tile: int = 512,
 ):
   """Ensemble training step backed by the fused Pallas MLP kernels.
@@ -186,6 +250,7 @@ def _make_pallas_train_fn(
     pred = fused_mlp.fused_field_mlp(
         config.depth,
         tile,
+        precision,
         h0,
         weights,
         biases,
@@ -215,7 +280,9 @@ def _make_pallas_train_fn(
     losses = ensemble_losses_r(params_b, aug_b, y_b)
     return losses.sum(), losses
 
-  def shard_train(params_b, opt_b, keys_b, aug, target):
+  def shard_train(params_b, opt_b, keys_b, aug_t, target):
+    # The Pallas kernels consume rows-major (B, F) blocks; untranspose once.
+    aug = aug_t.T
     def one_step(carry, batch):
       params_b, opt_b = carry
       aug_b, y_b = batch
@@ -343,7 +410,8 @@ def ensemble_map(
   opt_state = init_opt_state(config, learning_rate, params)
   member_keys = jax.random.split(opt_seed, padded)
 
-  aug_features = jnp.asarray(aug_features, dtype=jnp.float32)
+  # Features-major device layout (rows on the TPU lane dimension).
+  aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
   target = jnp.asarray(target, dtype=jnp.float32)
 
   num_epochs = int(num_epochs)
@@ -367,8 +435,6 @@ def ensemble_map(
 
   def make_train(chunk_epochs):
     if backend == 'pallas':
-      if precision != 'f32':
-        raise ValueError("backend='pallas' currently supports precision='f32'.")
       return _make_pallas_train_fn(
           config,
           distribution,
@@ -378,6 +444,7 @@ def ensemble_map(
           float(learning_rate),
           float(prior_weight),
           mesh,
+          precision,
       )
     if backend != 'xla':
       raise ValueError(f'Unknown backend: {backend!r}')
@@ -401,7 +468,7 @@ def ensemble_map(
         else min(checkpoint_every, num_epochs - epoch)
     )
     params, opt_state, member_keys, losses = make_train(chunk)(
-        tuple(params), opt_state, member_keys, aug_features, target
+        tuple(params), opt_state, member_keys, aug_t, target
     )
     loss_chunks.append(np.asarray(losses))
     epoch += chunk

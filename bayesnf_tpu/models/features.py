@@ -122,3 +122,27 @@ def fourier_features(
     denom = jnp.tile(jnp.arange(1, max_degree + 1, dtype=x.dtype), 2)
     feats = feats / denom
   return feats
+
+
+def fourier_features_t(
+    x: jax.Array, max_degree: int, rescale: bool = True
+) -> jnp.ndarray:
+  """Features-major variant of :func:`fourier_features`: (N,) -> (2d, N).
+
+  Rows (not columns) index the cos/sin octaves, so the large N axis stays
+  on the TPU lane dimension (see `field.apply_field_t`).
+  """
+  if max_degree <= 0:
+    return jnp.zeros((0,) + x.shape, dtype=x.dtype)
+  theta = 2.0 * jnp.pi * x
+  c, s = jnp.cos(theta), jnp.sin(theta)
+  coss, sins = [c], [s]
+  for _ in range(max_degree - 1):
+    c, s = 2.0 * c * c - 1.0, 2.0 * s * c
+    coss.append(c)
+    sins.append(s)
+  feats = jnp.stack(coss + sins, axis=0)
+  if rescale:
+    denom = jnp.tile(jnp.arange(1, max_degree + 1, dtype=x.dtype), 2)
+    feats = feats / denom[:, None]
+  return feats

@@ -34,6 +34,7 @@ def log_likelihood(
     params: tuple,
     pred: jax.Array,
     y: jax.Array,
+    weights: jax.Array | None = None,
 ) -> jax.Array:
   """Summed log-likelihood of observations `y` given predictions `pred`.
 
@@ -43,13 +44,18 @@ def log_likelihood(
       scalars are consumed here.
     pred: (B,) field predictions.
     y: (B,) observed targets.
+    weights: optional (B,) per-observation weights (e.g. 0 for padding rows
+      in chunked gradient accumulation).
 
   Returns:
-    Scalar sum of elementwise log-probs.
+    Scalar (weighted) sum of elementwise log-probs.
   """
+  wsum = (lambda lp: jnp.sum(lp)) if weights is None else (
+      lambda lp: jnp.sum(lp * weights)
+  )
   if distribution == LikelihoodDist.NORMAL:
     scale = 0.01 + jnp.exp(params[field_lib.IDX_LOG_NOISE_SCALE])
-    return jnp.sum(special.normal_log_prob(y, pred, scale))
+    return wsum(special.normal_log_prob(y, pred, scale))
 
   shape = jax.nn.softplus(params[field_lib.IDX_NB_SHAPE_RAW])
   total_count = 1.0 / shape
@@ -57,18 +63,16 @@ def log_likelihood(
   logits = -jnp.log(shape) - special.log_softplus(pred)
 
   if distribution == LikelihoodDist.NB:
-    return jnp.sum(special.nb_log_prob(y, total_count, logits))
+    return wsum(special.nb_log_prob(y, total_count, logits))
 
   if distribution == LikelihoodDist.ZINB:
-    pi = jax.nn.sigmoid(params[field_lib.IDX_ZINB_LOGIT])
     nb_lp = special.nb_log_prob(y, total_count, logits)
     log_pi = jax.nn.log_sigmoid(params[field_lib.IDX_ZINB_LOGIT])
     log_one_minus_pi = jax.nn.log_sigmoid(-params[field_lib.IDX_ZINB_LOGIT])
     # At y == 0 the density is pi + (1-pi)*NB(0); elsewhere (1-pi)*NB(y).
     zero_lp = jnp.logaddexp(log_pi, log_one_minus_pi + nb_lp)
     nonzero_lp = log_one_minus_pi + nb_lp
-    del pi
-    return jnp.sum(jnp.where(y == 0, zero_lp, nonzero_lp))
+    return wsum(jnp.where(y == 0, zero_lp, nonzero_lp))
 
   raise AssertionError(f'Unknown likelihood distribution: {distribution}')
 

@@ -42,26 +42,39 @@ def _interpret() -> bool:
   return jax.default_backend() != 'tpu'
 
 
-def _elu(z):
-  # expm1 has no Pallas TPU lowering; exp(z) - 1 on the (clamped) negative
-  # branch is within ~1e-7 absolute, negligible for activations.
-  return jnp.where(z > 0, z, jnp.exp(jnp.minimum(z, 0.0)) - 1.0)
+def _act_parts(z):
+  """(elu(z), tanh(z), elu'(z)).
+
+  tanh uses the VPU's fast hardware path; elu shares one exp between the
+  value (q - 1) and derivative (q) on the negative branch.
+  """
+  q = jnp.exp(jnp.minimum(z, 0.0))
+  tanh = jnp.tanh(z)
+  elu = jnp.where(z > 0, z, q - 1.0)
+  delu = jnp.where(z > 0, jnp.ones_like(z), q)
+  return elu, tanh, delu
 
 
 def _act(z, w):
-  return w * _elu(z) + (1.0 - w) * jnp.tanh(z)
+  elu, tanh, _ = _act_parts(z)
+  return w * elu + (1.0 - w) * tanh
 
 
 def _act_grad(z, w):
   """(d act/d z, d act/d w) evaluated elementwise."""
-  elu = _elu(z)
-  tanh = jnp.tanh(z)
-  delu = jnp.where(z > 0, jnp.ones_like(z), elu + 1.0)
+  elu, tanh, delu = _act_parts(z)
   dtanh = 1.0 - tanh * tanh
   return w * delu + (1.0 - w) * dtanh, elu - tanh
 
 
-def _forward_kernel(depth, rsqrts, h0_ref, *refs):
+def _mm(a, b, compute_dtype):
+  if compute_dtype is not None:
+    a = a.astype(compute_dtype)
+    b = b.astype(compute_dtype)
+  return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _forward_kernel(depth, rsqrts, compute_dtype, h0_ref, *refs):
   """Forward for one (member, row-tile) grid cell."""
   num_w = depth + 1
   w_refs = refs[:num_w]
@@ -74,21 +87,17 @@ def _forward_kernel(depth, rsqrts, h0_ref, *refs):
   h = h0_ref[0]
   for l in range(depth):
     z = s[l] * (
-        jnp.dot(h * rsqrts[l], w_refs[l][0], preferred_element_type=jnp.float32)
-        + b_refs[l][0, 0]
+        _mm(h * rsqrts[l], w_refs[l][0], compute_dtype) + b_refs[l][0, 0]
     )
     h = _act(z, w)
   out = s[depth] * (
-      jnp.dot(
-          h * rsqrts[depth], w_refs[depth][0],
-          preferred_element_type=jnp.float32,
-      )
+      _mm(h * rsqrts[depth], w_refs[depth][0], compute_dtype)
       + b_refs[depth][0, 0]
   )
   pred_ref[0] = out
 
 
-def _backward_kernel(depth, rsqrts, h0_ref, *refs):
+def _backward_kernel(depth, rsqrts, compute_dtype, h0_ref, *refs):
   """Backward for one grid cell: recompute forward, then reverse chain.
 
   Gradient outputs for weights/biases/scalars are accumulated across the
@@ -119,17 +128,13 @@ def _backward_kernel(depth, rsqrts, h0_ref, *refs):
   h = h0_ref[0]
   for l in range(depth):
     lhs = h * rsqrts[l]
-    z = s[l] * (
-        jnp.dot(lhs, w_refs[l][0], preferred_element_type=jnp.float32)
-        + b_refs[l][0, 0]
-    )
+    z = s[l] * (_mm(lhs, w_refs[l][0], compute_dtype) + b_refs[l][0, 0])
     hs.append(lhs)
     zs.append(z)
     h = _act(z, w)
   lhs_out = h * rsqrts[depth]
   v_out = (
-      jnp.dot(lhs_out, w_refs[depth][0], preferred_element_type=jnp.float32)
-      + b_refs[depth][0, 0]
+      _mm(lhs_out, w_refs[depth][0], compute_dtype) + b_refs[depth][0, 0]
   )
 
   # --- Backward chain.
@@ -139,14 +144,9 @@ def _backward_kernel(depth, rsqrts, h0_ref, *refs):
 
   ds[depth] = jnp.sum(g * v_out)
   dv = g * s[depth]  # (tile, 1)
-  dw_out = jnp.dot(
-      lhs_out.T, dv, preferred_element_type=jnp.float32
-  )
+  dw_out = _mm(lhs_out.T, dv, compute_dtype)
   db_out = jnp.sum(dv, axis=0)
-  dh = (
-      jnp.dot(dv, w_refs[depth][0].T, preferred_element_type=jnp.float32)
-      * rsqrts[depth]
-  )
+  dh = _mm(dv, w_refs[depth][0].T, compute_dtype) * rsqrts[depth]
 
   dws = [None] * (depth + 1)
   dbs = [None] * (depth + 1)
@@ -159,12 +159,9 @@ def _backward_kernel(depth, rsqrts, h0_ref, *refs):
     dz = dh * dact_dz
     ds[l] = jnp.sum(dz * (zs[l] / s[l]))
     dv = dz * s[l]
-    dws[l] = jnp.dot(hs[l].T, dv, preferred_element_type=jnp.float32)
+    dws[l] = _mm(hs[l].T, dv, compute_dtype)
     dbs[l] = jnp.sum(dv, axis=0)
-    dh = (
-        jnp.dot(dv, w_refs[l][0].T, preferred_element_type=jnp.float32)
-        * rsqrts[l]
-    )
+    dh = _mm(dv, w_refs[l][0].T, compute_dtype) * rsqrts[l]
 
   dh0_ref[0] = dh
 
@@ -199,13 +196,16 @@ def _pad_rows(x, tile):
   return jnp.pad(x, ((0, 0), (0, padded - n)) + ((0, 0),) * (x.ndim - 2))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def fused_field_mlp(depth, tile, h0, weights, biases, scales_raw, logit):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_field_mlp(depth, tile, precision, h0, weights, biases, scales_raw,
+                    logit):
   """Fused ensemble MLP forward: (E, N, F) encoded inputs -> (E, N) preds.
 
   Args:
     depth: number of hidden layers (static).
     tile: row-tile size (static; 512 is a good default).
+    precision: 'f32' or 'bf16' (bf16 MXU operands, f32 accumulation, for
+      forward and backward matmuls alike).
     h0: (E, N, F) encoded features per member.
     weights: tuple of depth+1 arrays (E, fan_in_l, fan_out_l).
     biases: tuple of depth+1 arrays (E, fan_out_l).
@@ -215,7 +215,8 @@ def fused_field_mlp(depth, tile, h0, weights, biases, scales_raw, logit):
   Returns:
     (E, N) predictions.
   """
-  return _forward(depth, tile, h0, weights, biases, scales_raw, logit)
+  return _forward(depth, tile, precision, h0, weights, biases, scales_raw,
+                  logit)
 
 
 def _specs_common(depth, tile, e, f, widths):
@@ -253,7 +254,11 @@ def _specs_common(depth, tile, e, f, widths):
   return h0_spec, w_specs, b_specs, scales_spec, logit_spec, rows_spec, fan_ins
 
 
-def _forward(depth, tile, h0, weights, biases, scales_raw, logit):
+def _compute_dtype(precision):
+  return {'f32': None, 'bf16': jnp.bfloat16}[precision]
+
+
+def _forward(depth, tile, precision, h0, weights, biases, scales_raw, logit):
   e, n, f = h0.shape
   widths = [w.shape[-1] for w in weights]
   rsqrts = tuple(
@@ -268,7 +273,9 @@ def _forward(depth, tile, h0, weights, biases, scales_raw, logit):
       _specs_common(depth, tile, e, f, widths)
   )
   pred = pl.pallas_call(
-      functools.partial(_forward_kernel, depth, rsqrts),
+      functools.partial(
+          _forward_kernel, depth, rsqrts, _compute_dtype(precision)
+      ),
       grid=grid,
       in_specs=[h0_spec, *w_specs, *b_specs, scales_spec, logit_spec],
       out_specs=rows_spec,
@@ -284,12 +291,14 @@ def _forward(depth, tile, h0, weights, biases, scales_raw, logit):
   return pred[:, :n, 0]
 
 
-def _forward_fwd(depth, tile, h0, weights, biases, scales_raw, logit):
-  pred = _forward(depth, tile, h0, weights, biases, scales_raw, logit)
+def _forward_fwd(depth, tile, precision, h0, weights, biases, scales_raw,
+                 logit):
+  pred = _forward(depth, tile, precision, h0, weights, biases, scales_raw,
+                  logit)
   return pred, (h0, weights, biases, scales_raw, logit)
 
 
-def _forward_bwd(depth, tile, residuals, g):
+def _forward_bwd(depth, tile, precision, residuals, g):
   h0, weights, biases, scales_raw, logit = residuals
   e, n, f = h0.shape
   widths = [w.shape[-1] for w in weights]
@@ -333,7 +342,9 @@ def _forward_bwd(depth, tile, residuals, g):
       + [scales_spec, logit_spec]
   )
   outs = pl.pallas_call(
-      functools.partial(_backward_kernel, depth, rsqrts),
+      functools.partial(
+          _backward_kernel, depth, rsqrts, _compute_dtype(precision)
+      ),
       grid=grid,
       in_specs=[
           h0_spec, *w_specs, *b_specs, scales_spec, logit_spec, rows_spec

@@ -69,5 +69,10 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
   return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def data_sharding_t(mesh: Mesh) -> NamedSharding:
+  """Sharding for features-major arrays (observation axis second)."""
+  return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
   return NamedSharding(mesh, P())

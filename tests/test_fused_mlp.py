@@ -51,7 +51,7 @@ def _make_inputs(e=3, n=70, f=12, width=16, depth=2, seed=0):
 def test_forward_matches_oracle(depth):
   h0, weights, biases, scales_raw, logit = _make_inputs(depth=depth)
   got = fused_mlp.fused_field_mlp(
-      depth, 32, h0, weights, biases, scales_raw, logit
+      depth, 32, 'f32', h0, weights, biases, scales_raw, logit
   )
   want = _reference_mlp(depth, h0, weights, biases, scales_raw, logit)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
@@ -61,10 +61,10 @@ def test_forward_matches_oracle(depth):
 def test_forward_row_padding():
   # n=70 with tile=32 pads to 96; padded rows must not leak into outputs.
   h0, weights, biases, scales_raw, logit = _make_inputs(n=70)
-  got = fused_mlp.fused_field_mlp(2, 32, h0, weights, biases, scales_raw, logit)
+  got = fused_mlp.fused_field_mlp(2, 32, 'f32', h0, weights, biases, scales_raw, logit)
   assert got.shape == (3, 70)
   got_big_tile = fused_mlp.fused_field_mlp(
-      2, 128, h0, weights, biases, scales_raw, logit
+      2, 128, 'f32', h0, weights, biases, scales_raw, logit
   )
   np.testing.assert_allclose(
       np.asarray(got), np.asarray(got_big_tile), rtol=1e-5, atol=1e-6
@@ -81,7 +81,7 @@ def test_gradients_match_autodiff(depth):
   def loss_fused(args):
     h0, weights, biases, scales_raw, logit = args
     pred = fused_mlp.fused_field_mlp(
-        depth, 32, h0, weights, biases, scales_raw, logit
+        depth, 32, 'f32', h0, weights, biases, scales_raw, logit
     )
     return jnp.sum(jnp.square(pred - y) * jnp.linspace(0.5, 1.5, 64))
 
@@ -109,16 +109,26 @@ def test_gradient_row_padding_no_leak():
 
   def loss(tile):
     pred = fused_mlp.fused_field_mlp(
-        2, tile, h0, weights, biases, scales_raw, logit
+        2, tile, 'f32', h0, weights, biases, scales_raw, logit
     )
     return jnp.sum(jnp.sin(pred))
 
   g_a = jax.grad(lambda _: loss(32))(0.0)  # dummy; compare full grads below
   del g_a
   ga = jax.grad(lambda w: jnp.sum(jnp.sin(fused_mlp.fused_field_mlp(
-      2, 32, h0, w, biases, scales_raw, logit))))(weights)
+      2, 32, 'f32', h0, w, biases, scales_raw, logit))))(weights)
   gb = jax.grad(lambda w: jnp.sum(jnp.sin(fused_mlp.fused_field_mlp(
-      2, 64, h0, w, biases, scales_raw, logit))))(weights)
+      2, 64, 'f32', h0, w, biases, scales_raw, logit))))(weights)
   for a, b in zip(ga, gb):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_bf16_kernel_close_to_f32():
+  h0, weights, biases, scales_raw, logit = _make_inputs(n=64)
+  a = fused_mlp.fused_field_mlp(2, 32, 'f32', h0, weights, biases,
+                                scales_raw, logit)
+  b = fused_mlp.fused_field_mlp(2, 32, 'bf16', h0, weights, biases,
+                                scales_raw, logit)
+  np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2,
+                             atol=5e-2)
