@@ -87,24 +87,25 @@ def _make_vi_fn(
   optimizer = optax.adam(learning_rate)
   d = config.num_inputs
 
-  def unnormalized_target(z, aug_b, y_b):
-    pred = field_lib.apply_field(config, z, aug_b[:, :d], aug_b[:, d:])
+  def unnormalized_target(z, aug_bt, y_b):
+    # Features-major layout (rows on the TPU lane axis), as in the MAP path.
+    pred = field_lib.apply_field_t(config, z, aug_bt[:d], aug_bt[d:])
     loglik = likelihoods.log_likelihood(distribution, z, pred, y_b)
     return priors.prior_log_prob(config, z) + (
         loglik * (data_size / batch_size) / kl_weight
     )
 
-  def member_fit(surrogate, key, aug, target):
+  def member_fit(surrogate, key, aug_t, target):
     opt_state = optimizer.init(surrogate)
 
-    def elbo_loss(surrogate, sample_key, aug_b, y_b):
+    def elbo_loss(surrogate, sample_key, aug_bt, y_b):
       locs, raw_scales = surrogate
       scales = surrogate_scales(raw_scales)
       z_draws = _surrogate_sample(locs, scales, sample_key, (sample_size,))
 
       def one_draw(z):
         return _surrogate_log_prob(locs, scales, z) - unnormalized_target(
-            z, aug_b, y_b
+            z, aug_bt, y_b
         )
 
       return jnp.mean(jax.vmap(one_draw)(z_draws))
@@ -114,11 +115,11 @@ def _make_vi_fn(
       key, sample_key, batch_key = jax.random.split(key, 3)
       if batch_size < data_size:
         idx = jax.random.permutation(batch_key, data_size)[:batch_size]
-        aug_b, y_b = aug[idx], target[idx]
+        aug_bt, y_b = aug_t[:, idx], target[idx]
       else:
-        aug_b, y_b = aug, target
+        aug_bt, y_b = aug_t, target
       loss, grads = jax.value_and_grad(elbo_loss)(
-          surrogate, sample_key, aug_b, y_b
+          surrogate, sample_key, aug_bt, y_b
       )
       updates, opt_state = optimizer.update(grads, opt_state)
       surrogate = optax.apply_updates(surrogate, updates)
@@ -137,11 +138,12 @@ def _make_vi_fn(
 
   ens = mesh_lib.ensemble_sharding(mesh)
   data = mesh_lib.data_sharding(mesh)
+  data_t = mesh_lib.data_sharding_t(mesh)
   num_leaves = len(field_lib.param_specs(config))
   param_shards = (ens,) * num_leaves
   return jax.jit(
       fit,
-      in_shardings=((param_shards, param_shards), ens, data, data),
+      in_shardings=((param_shards, param_shards), ens, data_t, data),
       out_shardings=(
           (param_shards, param_shards),
           ens,
@@ -216,10 +218,10 @@ def fit_vi(
       float(kl_weight),
       mesh,
   )
-  aug_features = jnp.asarray(aug_features, dtype=jnp.float32)
+  aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
   target = jnp.asarray(target, dtype=jnp.float32)
   surrogate, losses, draws = fit(
-      surrogate0, member_keys, aug_features, target
+      surrogate0, member_keys, aug_t, target
   )
 
   if padded != ensemble_size:
