@@ -31,6 +31,8 @@ def main():
   from bayesnf_tpu.parallel import mesh as mesh_lib
 
   small = bool(int(os.environ.get('BENCH_SMALL', '0')))
+  precision = os.environ.get('BENCH_PRECISION', 'f32')
+  backend = os.environ.get('BENCH_BACKEND', 'xla')
   n_rows = 2048 if small else 38096
   width = 128 if small else 512
   ensemble = 8 if small else 64
@@ -77,6 +79,8 @@ def main():
         batch_size=None,
         prior_weight=1.0,
         mesh=mesh,
+        precision=precision,
+        backend=backend,
     )
     jax.block_until_ready(losses)
     return losses

@@ -197,3 +197,38 @@ class TestEndToEnd:
     m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=10)
     means, _ = m.predict(df.drop(columns=['y']), quantiles=(0.5,))
     assert means.shape == (1, 2, 50)
+
+
+class TestCountModels:
+  """Estimator-level NB/ZINB coverage (fit + predict + likelihood_model)."""
+
+  def _count_df(self, n=200):
+    rng = np.random.default_rng(3)
+    t = np.arange(n, dtype=float) % 60
+    lat = rng.normal(size=n)
+    mu = np.exp(0.8 * np.sin(2 * np.pi * t / 12) + 0.3 * lat + 1.0)
+    y = rng.poisson(mu).astype(float)
+    return pd.DataFrame({'time': t, 'lat': lat, 'y': y})
+
+  @pytest.mark.parametrize('obs', ['NB', 'ZINB'])
+  def test_fit_predict(self, obs):
+    df = self._count_df()
+    m = BayesianNeuralFieldMLE(
+        width=8, depth=1, seasonality_periods=[12.0],
+        feature_cols=['time', 'lat'], target_col='y',
+        observation_model=obs, timetype='float', standardize=['lat'],
+    )
+    m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=300,
+          learning_rate=0.01)
+    means, quants = m.predict(df, quantiles=(0.1, 0.5, 0.9))
+    yhat = np.asarray(means).mean((0, 1))
+    assert np.all(np.isfinite(yhat))
+    q10, q50, q90 = (np.asarray(q) for q in quants)
+    # Count quantiles: integer-valued, ordered, non-negative.
+    for q in (q10, q50, q90):
+      np.testing.assert_array_equal(q, np.floor(q))
+      assert np.all(q >= 0)
+    assert np.all(q10 <= q50) and np.all(q50 <= q90)
+    dist = m.likelihood_model(df.head(20))
+    lp = np.asarray(dist.log_prob(df.y.values[:20]))
+    assert lp.shape == (1, 2) and np.all(np.isfinite(lp))
