@@ -234,24 +234,24 @@ def _make_pallas_train_fn(
   num_w = config.depth + 1
   full_batch = batch_size == data_size
 
-  def ensemble_losses(params_b, aug_b, y_b):
-    """(E,) per-member losses; aug_b (B,F) shared or (E,B,F) per member."""
-    encode = lambda p, a: field_lib.encode(config, p, a[:, :d], a[:, d:])
-    if aug_b.ndim == 2:
-      h0 = jax.vmap(encode, in_axes=(0, None))(params_b, aug_b)
+  def ensemble_losses(params_b, aug_bt, y_b):
+    """(E,) per-member losses; aug_bt (F,B) shared or (E,F,B) per member."""
+    encode = lambda p, a: field_lib.encode_t(config, p, a[:d], a[d:])
+    if aug_bt.ndim == 2:
+      h0_t = jax.vmap(encode, in_axes=(0, None))(params_b, aug_bt)
     else:
-      h0 = jax.vmap(encode)(params_b, aug_b)
+      h0_t = jax.vmap(encode)(params_b, aug_bt)
     weights = tuple(
         params_b[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w)
     )
     biases = tuple(
         params_b[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w)
     )
-    pred = fused_mlp.fused_field_mlp(
+    pred = fused_mlp.fused_field_mlp_t(
         config.depth,
         tile,
         precision,
-        h0,
+        h0_t,
         weights,
         biases,
         params_b[field_lib.IDX_LAYER_SCALES],
@@ -281,8 +281,6 @@ def _make_pallas_train_fn(
     return losses.sum(), losses
 
   def shard_train(params_b, opt_b, keys_b, aug_t, target):
-    # The Pallas kernels consume rows-major (B, F) blocks; untranspose once.
-    aug = aug_t.T
     def one_step(carry, batch):
       params_b, opt_b = carry
       aug_b, y_b = batch
@@ -298,16 +296,21 @@ def _make_pallas_train_fn(
       split = jax.vmap(functools.partial(jax.random.split, num=2))(keys_b)
       keys_b, permute_keys = split[:, 0], split[:, 1]
       if full_batch:
-        aug_e = aug[jnp.newaxis]
+        aug_e = aug_t[jnp.newaxis]
         y_e = target[jnp.newaxis]
       else:
         keep = num_batches * batch_size
         idx = jax.vmap(
             lambda k: jax.random.permutation(k, data_size)[:keep]
         )(permute_keys)  # (E, keep)
+        # Per-member gathered batches, features-major: (nb, E, F, B).
         aug_e = jnp.moveaxis(
-            aug[idx].reshape(idx.shape[0], num_batches, batch_size, -1), 1, 0
-        )  # (nb, E, B, F)
+            aug_t[:, idx].reshape(
+                -1, idx.shape[0], num_batches, batch_size
+            ),
+            2,
+            0,
+        ).transpose(0, 2, 1, 3)
         y_e = jnp.moveaxis(
             target[idx].reshape(idx.shape[0], num_batches, batch_size), 1, 0
         )

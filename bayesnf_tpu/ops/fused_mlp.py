@@ -371,3 +371,293 @@ def _forward_bwd(depth, tile, precision, residuals, g):
 
 
 fused_field_mlp.defvjp(_forward_fwd, _forward_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Features-major (transposed) kernels: the layout the trainers use.
+#
+# h0 arrives as (E, F, N) — the huge row axis on the lane dimension, so
+# neither the input, the hidden states, nor any gradient buffer carries
+# TPU tiling padding. All in-kernel contractions run over the tile (lane)
+# axis or the fan dims via dot_general, with no materialized transposes.
+# ---------------------------------------------------------------------------
+
+
+def _mm_t(a, b, contract, compute_dtype):
+  """dot_general contracting `contract` = ((a_axes), (b_axes)), f32 accum."""
+  if compute_dtype is not None:
+    a = a.astype(compute_dtype)
+    b = b.astype(compute_dtype)
+  return jax.lax.dot_general(
+      a, b, (contract, ((), ())), preferred_element_type=jnp.float32
+  )
+
+
+def _forward_kernel_t(depth, rsqrts, compute_dtype, h0_ref, *refs):
+  """Features-major forward for one (member, row-tile) grid cell."""
+  num_w = depth + 1
+  w_refs = refs[:num_w]
+  b_refs = refs[num_w : 2 * num_w]
+  scales_ref, logit_ref, pred_ref = refs[2 * num_w : 2 * num_w + 3]
+
+  s = jax.nn.softplus(scales_ref[0, 0])
+  w = jax.nn.sigmoid(logit_ref[0, 0, 0])
+
+  h = h0_ref[0]  # (F, tile)
+  for l in range(depth):
+    # (fan_out, tile) = W^T (fan_in, fan_out) . h (fan_in, tile)
+    z = s[l] * (
+        _mm_t(w_refs[l][0], h * rsqrts[l], ((0,), (0,)), compute_dtype)
+        + b_refs[l][0]
+    )
+    h = _act(z, w)
+  out = s[depth] * (
+      _mm_t(w_refs[depth][0], h * rsqrts[depth], ((0,), (0,)), compute_dtype)
+      + b_refs[depth][0]
+  )  # (1, tile)
+  pred_ref[0] = out
+
+
+def _backward_kernel_t(depth, rsqrts, compute_dtype, h0_ref, *refs):
+  """Features-major backward: recompute forward, reverse chain, accumulate."""
+  num_w = depth + 1
+  w_refs = refs[:num_w]
+  b_refs = refs[num_w : 2 * num_w]
+  scales_ref, logit_ref, g_ref = refs[2 * num_w : 2 * num_w + 3]
+  out_refs = refs[2 * num_w + 3 :]
+  dh0_ref = out_refs[0]
+  dw_refs = out_refs[1 : 1 + num_w]
+  db_refs = out_refs[1 + num_w : 1 + 2 * num_w]
+  dscales_ref = out_refs[1 + 2 * num_w]
+  dlogit_ref = out_refs[2 + 2 * num_w]
+
+  t = pl.program_id(1)
+
+  raw_s = scales_ref[0, 0]
+  s = jax.nn.softplus(raw_s)
+  ds_raw = jax.nn.sigmoid(raw_s)
+  w = jax.nn.sigmoid(logit_ref[0, 0, 0])
+
+  # Recompute forward, keeping the scaled matmul inputs and pre-activations.
+  hs, zs = [], []
+  h = h0_ref[0]
+  for l in range(depth):
+    lhs = h * rsqrts[l]  # (fan_in, tile)
+    z = s[l] * (
+        _mm_t(w_refs[l][0], lhs, ((0,), (0,)), compute_dtype) + b_refs[l][0]
+    )
+    hs.append(lhs)
+    zs.append(z)
+    h = _act(z, w)
+  lhs_out = h * rsqrts[depth]
+  v_out = (
+      _mm_t(w_refs[depth][0], lhs_out, ((0,), (0,)), compute_dtype)
+      + b_refs[depth][0]
+  )  # (1, tile)
+
+  g = g_ref[0]  # (1, tile)
+  ds = [jnp.zeros((), jnp.float32)] * (depth + 1)
+  dlogit_acc = jnp.zeros((), jnp.float32)
+
+  ds[depth] = jnp.sum(g * v_out)
+  dv = g * s[depth]  # (fan_out=1, tile)
+  # dW (fan_in, fan_out) = lhs (fan_in, tile) . dv (fan_out, tile)^T
+  dws = [None] * (depth + 1)
+  dbs = [None] * (depth + 1)
+  dws[depth] = _mm_t(lhs_out, dv, ((1,), (1,)), compute_dtype)
+  dbs[depth] = jnp.sum(dv, axis=1, keepdims=True)  # (fan_out, 1)
+  # dh (fan_in, tile) = W (fan_in, fan_out) . dv (fan_out, tile)
+  dh = _mm_t(w_refs[depth][0], dv, ((1,), (0,)), compute_dtype) * rsqrts[depth]
+
+  for l in reversed(range(depth)):
+    dact_dz, dact_dw = _act_grad(zs[l], w)
+    dlogit_acc = dlogit_acc + jnp.sum(dh * dact_dw)
+    dz = dh * dact_dz
+    ds[l] = jnp.sum(dz * (zs[l] / s[l]))
+    dv = dz * s[l]  # (fan_out, tile)
+    dws[l] = _mm_t(hs[l], dv, ((1,), (1,)), compute_dtype)
+    dbs[l] = jnp.sum(dv, axis=1, keepdims=True)
+    dh = _mm_t(w_refs[l][0], dv, ((1,), (0,)), compute_dtype) * rsqrts[l]
+
+  dh0_ref[0] = dh
+
+  dscales_2d = (jnp.stack(ds) * ds_raw)[None, :]
+  dlogit_2d = (dlogit_acc * w * (1.0 - w))[None, None]
+
+  @pl.when(t == 0)
+  def _():
+    for l in range(depth + 1):
+      dw_refs[l][0] = dws[l]
+      db_refs[l][0] = dbs[l]
+    dscales_ref[0] = dscales_2d
+    dlogit_ref[0] = dlogit_2d
+
+  @pl.when(t != 0)
+  def _():
+    for l in range(depth + 1):
+      dw_refs[l][0] += dws[l]
+      db_refs[l][0] += dbs[l]
+    dscales_ref[0] += dscales_2d
+    dlogit_ref[0] += dlogit_2d
+
+
+def _pad_cols(x, tile):
+  n = x.shape[-1]
+  padded = math.ceil(n / tile) * tile
+  if padded == n:
+    return x
+  return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, padded - n),))
+
+
+def _specs_common_t(depth, tile, f, widths):
+  fan_ins = [f] + list(widths[:-1])
+  w_specs = [
+      pl.BlockSpec(
+          (1, fan_ins[l], widths[l]),
+          lambda e_, t_, l=l: (e_, 0, 0),
+          memory_space=pltpu.VMEM,
+      )
+      for l in range(depth + 1)
+  ]
+  b_specs = [
+      pl.BlockSpec(
+          (1, widths[l], 1),
+          lambda e_, t_, l=l: (e_, 0, 0),
+          memory_space=pltpu.VMEM,
+      )
+      for l in range(depth + 1)
+  ]
+  h0_spec = pl.BlockSpec(
+      (1, f, tile), lambda e_, t_: (e_, 0, t_), memory_space=pltpu.VMEM
+  )
+  scales_spec = pl.BlockSpec(
+      (1, 1, depth + 1), lambda e_, t_: (e_, 0, 0), memory_space=pltpu.VMEM
+  )
+  logit_spec = pl.BlockSpec(
+      (1, 1, 1), lambda e_, t_: (e_, 0, 0), memory_space=pltpu.VMEM
+  )
+  rows_spec = pl.BlockSpec(
+      (1, 1, tile), lambda e_, t_: (e_, 0, t_), memory_space=pltpu.VMEM
+  )
+  return h0_spec, w_specs, b_specs, scales_spec, logit_spec, rows_spec, fan_ins
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_field_mlp_t(depth, tile, precision, h0_t, weights, biases,
+                      scales_raw, logit):
+  """Features-major fused MLP: (E, F, N) encoded inputs -> (E, N) preds.
+
+  The transposed twin of :func:`fused_field_mlp`; this is the layout the
+  trainers use (rows on the lane axis, zero tiling padding).
+  """
+  return _forward_t(depth, tile, precision, h0_t, weights, biases,
+                    scales_raw, logit)
+
+
+def _forward_t(depth, tile, precision, h0_t, weights, biases, scales_raw,
+               logit):
+  e, f, n = h0_t.shape
+  widths = [w.shape[-1] for w in weights]
+  rsqrts = tuple(1.0 / math.sqrt(fi) for fi in [f] + list(widths[:-1]))
+
+  h0p = _pad_cols(h0_t, tile)
+  npad = h0p.shape[-1]
+  grid = (e, npad // tile)
+
+  h0_spec, w_specs, b_specs, scales_spec, logit_spec, rows_spec, _ = (
+      _specs_common_t(depth, tile, f, widths)
+  )
+  pred = pl.pallas_call(
+      functools.partial(
+          _forward_kernel_t, depth, rsqrts, _compute_dtype(precision)
+      ),
+      grid=grid,
+      in_specs=[h0_spec, *w_specs, *b_specs, scales_spec, logit_spec],
+      out_specs=rows_spec,
+      out_shape=jax.ShapeDtypeStruct((e, 1, npad), jnp.float32),
+      interpret=_interpret(),
+  )(
+      h0p,
+      *weights,
+      *[b[:, :, None] for b in biases],
+      scales_raw[:, None, :],
+      logit[:, None, None],
+  )
+  return pred[:, 0, :n]
+
+
+def _forward_t_fwd(depth, tile, precision, h0_t, weights, biases, scales_raw,
+                   logit):
+  pred = _forward_t(depth, tile, precision, h0_t, weights, biases,
+                    scales_raw, logit)
+  return pred, (h0_t, weights, biases, scales_raw, logit)
+
+
+def _forward_t_bwd(depth, tile, precision, residuals, g):
+  h0_t, weights, biases, scales_raw, logit = residuals
+  e, f, n = h0_t.shape
+  widths = [w.shape[-1] for w in weights]
+  rsqrts = tuple(1.0 / math.sqrt(fi) for fi in [f] + list(widths[:-1]))
+
+  h0p = _pad_cols(h0_t, tile)
+  gp = _pad_cols(g, tile)
+  npad = h0p.shape[-1]
+  grid = (e, npad // tile)
+
+  h0_spec, w_specs, b_specs, scales_spec, logit_spec, rows_spec, fan_ins = (
+      _specs_common_t(depth, tile, f, widths)
+  )
+  dw_specs = [
+      pl.BlockSpec(
+          (1, fan_ins[l], widths[l]),
+          lambda e_, t_, l=l: (e_, 0, 0),
+          memory_space=pltpu.VMEM,
+      )
+      for l in range(depth + 1)
+  ]
+  out_shapes = (
+      [jax.ShapeDtypeStruct((e, f, npad), jnp.float32)]
+      + [
+          jax.ShapeDtypeStruct((e, fan_ins[l], widths[l]), jnp.float32)
+          for l in range(depth + 1)
+      ]
+      + [
+          jax.ShapeDtypeStruct((e, widths[l], 1), jnp.float32)
+          for l in range(depth + 1)
+      ]
+      + [
+          jax.ShapeDtypeStruct((e, 1, depth + 1), jnp.float32),
+          jax.ShapeDtypeStruct((e, 1, 1), jnp.float32),
+      ]
+  )
+  out_specs = [h0_spec] + dw_specs + list(b_specs) + [scales_spec, logit_spec]
+  outs = pl.pallas_call(
+      functools.partial(
+          _backward_kernel_t, depth, rsqrts, _compute_dtype(precision)
+      ),
+      grid=grid,
+      in_specs=[
+          h0_spec, *w_specs, *b_specs, scales_spec, logit_spec, rows_spec
+      ],
+      out_specs=out_specs,
+      out_shape=out_shapes,
+      interpret=_interpret(),
+  )(
+      h0p,
+      *weights,
+      *[b[:, :, None] for b in biases],
+      scales_raw[:, None, :],
+      logit[:, None, None],
+      gp[:, None, :],
+  )
+
+  dh0 = outs[0][:, :, :n]
+  num_w = depth + 1
+  dweights = tuple(outs[1 : 1 + num_w])
+  dbiases = tuple(o[:, :, 0] for o in outs[1 + num_w : 1 + 2 * num_w])
+  dscales = outs[1 + 2 * num_w][:, 0, :]
+  dlogit = outs[2 + 2 * num_w][:, 0, 0]
+  return dh0, dweights, dbiases, dscales, dlogit
+
+
+fused_field_mlp_t.defvjp(_forward_t_fwd, _forward_t_bwd)

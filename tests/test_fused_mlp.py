@@ -132,3 +132,48 @@ def test_bf16_kernel_close_to_f32():
                                 scales_raw, logit)
   np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2,
                              atol=5e-2)
+
+
+class TestTransposedKernels:
+
+  @pytest.mark.parametrize('depth', [1, 2])
+  def test_forward_matches_rowmajor(self, depth):
+    h0, weights, biases, scales_raw, logit = _make_inputs(depth=depth, n=70)
+    a = fused_mlp.fused_field_mlp(
+        depth, 32, 'f32', h0, weights, biases, scales_raw, logit
+    )
+    b = fused_mlp.fused_field_mlp_t(
+        depth, 32, 'f32', jnp.swapaxes(h0, 1, 2), weights, biases,
+        scales_raw, logit
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=2e-5)
+
+  def test_gradients_match_autodiff(self):
+    depth = 2
+    h0, weights, biases, scales_raw, logit = _make_inputs(depth=depth, n=64)
+    h0_t = jnp.swapaxes(h0, 1, 2)
+    y = jnp.asarray(
+        np.random.default_rng(9).normal(size=(3, 64)).astype(np.float32)
+    )
+
+    def loss_t(args):
+      h0_t, weights, biases, scales_raw, logit = args
+      pred = fused_mlp.fused_field_mlp_t(
+          depth, 32, 'f32', h0_t, weights, biases, scales_raw, logit
+      )
+      return jnp.sum(jnp.square(pred - y) * jnp.linspace(0.5, 1.5, 64))
+
+    def loss_ref(args):
+      h0_t, weights, biases, scales_raw, logit = args
+      pred = _reference_mlp(
+          depth, jnp.swapaxes(h0_t, 1, 2), weights, biases, scales_raw, logit
+      )
+      return jnp.sum(jnp.square(pred - y) * jnp.linspace(0.5, 1.5, 64))
+
+    args = (h0_t, weights, biases, scales_raw, logit)
+    g_t = jax.tree_util.tree_leaves(jax.grad(loss_t)(args))
+    g_r = jax.tree_util.tree_leaves(jax.grad(loss_ref)(args))
+    for a, b in zip(g_t, g_r):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                 atol=5e-4)
