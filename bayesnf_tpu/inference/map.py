@@ -268,16 +268,8 @@ def _make_pallas_train_fn(
       loss = loss - prior_weight * prior
     return loss
 
-  # Rematerialize: without this, autodiff stores every encode intermediate
-  # (~(E, N, encoded_dim) and friends) between forward and backward — at
-  # bench scale (64 x 38k) that exceeds one chip's HBM. With remat the
-  # backward recomputes encode + the fused forward per use.
-  ensemble_losses_r = jax.checkpoint(
-      ensemble_losses, policy=jax.checkpoint_policies.nothing_saveable
-  )
-
   def total_loss(params_b, aug_b, y_b):
-    losses = ensemble_losses_r(params_b, aug_b, y_b)
+    losses = ensemble_losses(params_b, aug_b, y_b)
     return losses.sum(), losses
 
   def shard_train(params_b, opt_b, keys_b, aug_t, target):
