@@ -95,9 +95,7 @@ def _make_vi_fn(
         loglik * (data_size / batch_size) / kl_weight
     )
 
-  def member_fit(surrogate, key, aug_t, target):
-    opt_state = optimizer.init(surrogate)
-
+  def member_fit(surrogate, opt_state, key, aug_t, target):
     def elbo_loss(surrogate, sample_key, aug_bt, y_b):
       locs, raw_scales = surrogate
       scales = surrogate_scales(raw_scales)
@@ -125,31 +123,57 @@ def _make_vi_fn(
       surrogate = optax.apply_updates(surrogate, updates)
       return (surrogate, opt_state, key), loss
 
-    (surrogate, _, key), losses = jax.lax.scan(
+    (surrogate, opt_state, key), losses = jax.lax.scan(
         one_step, (surrogate, opt_state, key), None, length=num_steps
     )
-    locs, raw_scales = surrogate
-    draws = _surrogate_sample(
-        locs, surrogate_scales(raw_scales), key, (num_samples,)
-    )
-    return surrogate, losses * kl_weight, draws
+    return surrogate, opt_state, key, losses * kl_weight
 
-  fit = jax.vmap(member_fit, in_axes=(0, 0, None, None))
+  fit = jax.vmap(member_fit, in_axes=(0, 0, 0, None, None))
 
   ens = mesh_lib.ensemble_sharding(mesh)
   data = mesh_lib.data_sharding(mesh)
   data_t = mesh_lib.data_sharding_t(mesh)
   num_leaves = len(field_lib.param_specs(config))
   param_shards = (ens,) * num_leaves
+  surr_shards = (param_shards, param_shards)
+  opt_shards = jax.tree_util.tree_map(
+      lambda _: ens,
+      optimizer.init((
+          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
+          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
+      )),
+  )
   return jax.jit(
       fit,
-      in_shardings=((param_shards, param_shards), ens, data_t, data),
-      out_shardings=(
-          (param_shards, param_shards),
-          ens,
-          param_shards,
-      ),
-      donate_argnums=(0,),
+      in_shardings=(surr_shards, opt_shards, ens, data_t, data),
+      out_shardings=(surr_shards, opt_shards, ens, ens),
+      donate_argnums=(0, 1, 2),
+  )
+
+
+def init_vi_opt_state(learning_rate, surrogate):
+  """Adam state for a batched (leading member axis) surrogate."""
+  return jax.vmap(optax.adam(learning_rate).init)(surrogate)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_vi_draw_fn(config: field_lib.FieldConfig, num_samples: int, mesh):
+  """Jitted posterior-draw program: (surrogate, keys) -> param draws."""
+
+  def member_draw(surrogate, key):
+    locs, raw_scales = surrogate
+    return _surrogate_sample(
+        locs, surrogate_scales(raw_scales), key, (num_samples,)
+    )
+
+  draw = jax.vmap(member_draw)
+  ens = mesh_lib.ensemble_sharding(mesh)
+  num_leaves = len(field_lib.param_specs(config))
+  param_shards = (ens,) * num_leaves
+  return jax.jit(
+      draw,
+      in_shardings=((param_shards, param_shards), ens),
+      out_shardings=param_shards,
   )
 
 
@@ -167,6 +191,8 @@ def fit_vi(
     kl_weight: float = 1.0,
     batch_size: int | None = None,
     mesh=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int | None = None,
 ):
   """Fit an ensemble of mean-field surrogate posteriors.
 
@@ -186,6 +212,9 @@ def fit_vi(
     kl_weight: KL(q||p) weight in the ELBO.
     batch_size: minibatch rows; None means full batch.
     mesh: ('ens', 'data') mesh; defaults to all devices on 'ens'.
+    checkpoint_dir: when set, optimization runs in `checkpoint_every`-step
+      chunks persisted via orbax; an existing checkpoint resumes bit-exactly.
+    checkpoint_every: steps per checkpoint chunk (default: 10% of steps).
 
   Returns:
     (surrogate, losses, draws):
@@ -203,26 +232,82 @@ def fit_vi(
   padded = mesh_lib.pad_ensemble_size(ensemble_size, mesh)
   init_seed, opt_seed = jax.random.split(seed, 2)
   init_keys = jax.random.split(init_seed, padded)
-  surrogate0 = jax.vmap(lambda k: init_surrogate(config, k))(init_keys)
+  surrogate = jax.vmap(lambda k: init_surrogate(config, k))(init_keys)
+  opt_state = init_vi_opt_state(learning_rate, surrogate)
   member_keys = jax.random.split(opt_seed, padded)
 
-  fit = _make_vi_fn(
-      config,
-      distribution,
-      int(num_epochs),
-      int(batch_size),
-      data_size,
-      float(learning_rate),
-      int(sample_size_divergence),
-      int(sample_size_posterior),
-      float(kl_weight),
-      mesh,
-  )
   aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
   target = jnp.asarray(target, dtype=jnp.float32)
-  surrogate, losses, draws = fit(
-      surrogate0, member_keys, aug_t, target
-  )
+
+  num_steps = int(num_epochs)
+  start_step = 0
+  loss_chunks = []
+  checkpointer = None
+  if checkpoint_dir is not None:
+    from bayesnf_tpu.utils import checkpoint as ckpt_lib
+
+    checkpointer = ckpt_lib.TrainCheckpointer(checkpoint_dir)
+    restored = checkpointer.restore_latest()
+    if restored is not None:
+      locs_scales = restored.params  # (locs..., raw_scales...) flat tuple
+      num_leaves = len(locs_scales) // 2
+      surrogate = (
+          tuple(jnp.asarray(p) for p in locs_scales[:num_leaves]),
+          tuple(jnp.asarray(p) for p in locs_scales[num_leaves:]),
+      )
+      opt_state = restored.opt_state(template=opt_state)
+      member_keys = jnp.asarray(restored.keys)
+      loss_chunks = [np.asarray(l) for l in restored.losses]
+      start_step = restored.epoch
+    if checkpoint_every is None:
+      checkpoint_every = max(1, num_steps // 10)
+
+  def make_fit(chunk_steps):
+    return _make_vi_fn(
+        config,
+        distribution,
+        chunk_steps,
+        int(batch_size),
+        data_size,
+        float(learning_rate),
+        int(sample_size_divergence),
+        int(sample_size_posterior),
+        float(kl_weight),
+        mesh,
+    )
+
+  step = start_step
+  while step < num_steps:
+    chunk = (
+        num_steps - step
+        if checkpointer is None
+        else min(checkpoint_every, num_steps - step)
+    )
+    surrogate, opt_state, member_keys, losses = make_fit(chunk)(
+        surrogate, opt_state, member_keys, aug_t, target
+    )
+    loss_chunks.append(np.asarray(losses))
+    step += chunk
+    if checkpointer is not None and step < num_steps:
+      from bayesnf_tpu.utils import checkpoint as ckpt_lib
+
+      checkpointer.save(
+          ckpt_lib.TrainState.from_opt_state(
+              params=jax.tree_util.tree_map(
+                  np.asarray, tuple(surrogate[0]) + tuple(surrogate[1])
+              ),
+              opt_state=jax.tree_util.tree_map(np.asarray, opt_state),
+              keys=np.asarray(member_keys),
+              losses=loss_chunks,
+              epoch=step,
+          )
+      )
+  if checkpointer is not None:
+    checkpointer.close()
+
+  draw = _make_vi_draw_fn(config, int(sample_size_posterior), mesh)
+  draws = draw(surrogate, member_keys)
+  losses = jnp.concatenate([jnp.asarray(l) for l in loss_chunks], axis=-1)
 
   if padded != ensemble_size:
     surrogate = jax.tree_util.tree_map(lambda p: p[:ensemble_size], surrogate)

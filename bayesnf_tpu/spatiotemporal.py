@@ -390,6 +390,8 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
       kl_weight=0.1,
       batch_size=None,
       mesh=None,
+      checkpoint_dir=None,
+      checkpoint_every=None,
   ) -> BayesianNeuralFieldEstimator:
     """Run stochastic ensemble variational inference.
 
@@ -405,6 +407,9 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
       kl_weight: weight of KL(q || prior) in the ELBO.
       batch_size: per-step batch rows; None = full batch.
       mesh: optional ('ens', 'data') `jax.sharding.Mesh`.
+      checkpoint_dir: when set, VI optimization checkpoints periodically and
+        an interrupted fit resumes bit-exactly.
+      checkpoint_every: steps between checkpoints (default steps//10).
 
     Returns:
       self.
@@ -436,6 +441,8 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
         kl_weight=kl_weight,
         batch_size=batch_size,
         mesh=mesh,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
     )
     self.surrogate_ = jax.tree_util.tree_map(np.array, surrogate)
     g, m = _group_shape(ensemble_size)

@@ -65,3 +65,48 @@ def test_resume_from_checkpoint_is_bit_exact(tmp_path):
   np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_res))
   for a, b in zip(p_ref, p_res):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestVICheckpoint:
+
+  def _run_vi(self, config, aug, y, **kwargs):
+    from bayesnf_tpu.inference import vi as vi_lib
+
+    return vi_lib.fit_vi(
+        aug, y, jax.random.PRNGKey(0), 'NORMAL', config,
+        ensemble_size=2, learning_rate=0.02, num_epochs=20,
+        sample_size_divergence=2, sample_size_posterior=3,
+        batch_size=20, **kwargs,
+    )
+
+  def test_vi_chunked_checkpoint_matches_single_run(self, tmp_path):
+    config, aug, y = _setup()
+    s_ref, l_ref, d_ref = self._run_vi(config, aug, y)
+    s_ck, l_ck, d_ck = self._run_vi(
+        config, aug, y, checkpoint_dir=str(tmp_path / 'vi'), checkpoint_every=7
+    )
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_ck))
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref),
+                    jax.tree_util.tree_leaves(s_ck)):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(d_ref, d_ck):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_vi_resume_bit_exact(self, tmp_path):
+    from bayesnf_tpu.inference import vi as vi_lib
+
+    config, aug, y = _setup()
+    _, l_ref, d_ref = self._run_vi(config, aug, y)
+    ckdir = str(tmp_path / 'vi')
+    vi_lib.fit_vi(
+        aug, y, jax.random.PRNGKey(0), 'NORMAL', config,
+        ensemble_size=2, learning_rate=0.02, num_epochs=14,
+        sample_size_divergence=2, sample_size_posterior=3,
+        batch_size=20, checkpoint_dir=ckdir, checkpoint_every=7,
+    )
+    _, l_res, d_res = self._run_vi(
+        config, aug, y, checkpoint_dir=ckdir, checkpoint_every=7
+    )
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_res))
+    for a, b in zip(d_ref, d_res):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
