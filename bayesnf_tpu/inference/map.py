@@ -430,6 +430,13 @@ def ensemble_map(
 
   def make_train(chunk_epochs):
     if backend == 'pallas':
+      if precision != 'f32':
+        # jax 0.9's closed_call lowering cache mis-keys the shard_map +
+        # custom_vjp + mixed-dtype combination (MLIR verification failure);
+        # the f32 Pallas path is the fastest backend anyway.
+        raise ValueError(
+            "backend='pallas' currently supports precision='f32' only."
+        )
       return _make_pallas_train_fn(
           config,
           distribution,
