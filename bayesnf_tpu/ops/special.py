@@ -9,10 +9,6 @@ import jax.numpy as jnp
 from jax.scipy import special as jsp_special
 
 
-def softplus(x):
-  return jax.nn.softplus(x)
-
-
 def softplus_inverse(y):
   """Inverse of softplus: x such that log(1 + e^x) = y.
 
