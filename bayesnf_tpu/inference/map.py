@@ -236,7 +236,10 @@ def _make_pallas_train_fn(
 
   def ensemble_losses(params_b, aug_bt, y_b):
     """(E,) per-member losses; aug_bt (F,B) shared or (E,F,B) per member."""
-    encode = lambda p, a: field_lib.encode_t(config, p, a[:d], a[d:])
+    # Groups stay unconcatenated: the kernel assembles h0 in VMEM.
+    encode = lambda p, a: tuple(
+        field_lib.encode_t_groups(config, p, a[:d], a[d:])
+    )
     if aug_bt.ndim == 2:
       h0_t = jax.vmap(encode, in_axes=(0, None))(params_b, aug_bt)
     else:

@@ -343,13 +343,17 @@ def seasonal_features_for(config: FieldConfig, x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def encode_t(
+def encode_t_groups(
     config: FieldConfig,
     params: tuple,
     x_t: jax.Array,
     seasonal_t: jax.Array,
-) -> jax.Array:
-  """Features-major encode: (D, N) inputs -> (encoded_dim, N)."""
+) -> list:
+  """Features-major encode, one array per (scaled) feature group.
+
+  Returning the groups unconcatenated lets the fused Pallas trainer
+  assemble h0 in VMEM instead of materializing the concatenation in HBM.
+  """
   input_scales = jnp.asarray(config.input_scales, dtype=x_t.dtype)
   lsa = params[IDX_LOG_SCALE_ADJ]
   scaled_x = x_t / (input_scales * jnp.exp(lsa))[:, None]
@@ -365,8 +369,19 @@ def encode_t(
     groups.append(jnp.prod(scaled_x[inter_idx, :], axis=1))
 
   group_scales = jax.nn.softplus(params[IDX_FEATURE_SCALES])
-  scaled_groups = [g * group_scales[i] for i, g in enumerate(groups)]
-  return jnp.concatenate(scaled_groups, axis=0)
+  return [g * group_scales[i] for i, g in enumerate(groups)]
+
+
+def encode_t(
+    config: FieldConfig,
+    params: tuple,
+    x_t: jax.Array,
+    seasonal_t: jax.Array,
+) -> jax.Array:
+  """Features-major encode: (D, N) inputs -> (encoded_dim, N)."""
+  return jnp.concatenate(
+      encode_t_groups(config, params, x_t, seasonal_t), axis=0
+  )
 
 
 def apply_field_t(

@@ -393,8 +393,14 @@ def _mm_t(a, b, contract, compute_dtype):
   )
 
 
-def _forward_kernel_t(depth, rsqrts, compute_dtype, h0_ref, *refs):
-  """Features-major forward for one (member, row-tile) grid cell."""
+def _forward_kernel_t(depth, rsqrts, compute_dtype, num_groups, *refs):
+  """Features-major forward for one (member, row-tile) grid cell.
+
+  h0 arrives as `num_groups` separate feature-group blocks, concatenated
+  here in VMEM (avoids materializing the concat in HBM).
+  """
+  h0_refs = refs[:num_groups]
+  refs = refs[num_groups:]
   num_w = depth + 1
   w_refs = refs[:num_w]
   b_refs = refs[num_w : 2 * num_w]
@@ -403,7 +409,7 @@ def _forward_kernel_t(depth, rsqrts, compute_dtype, h0_ref, *refs):
   s = jax.nn.softplus(scales_ref[0, 0])
   w = jax.nn.sigmoid(logit_ref[0, 0, 0])
 
-  h = h0_ref[0]  # (F, tile)
+  h = jnp.concatenate([r[0] for r in h0_refs], axis=0)  # (F, tile)
   for l in range(depth):
     # (fan_out, tile) = W^T (fan_in, fan_out) . h (fan_in, tile)
     z = s[l] * (
@@ -418,18 +424,24 @@ def _forward_kernel_t(depth, rsqrts, compute_dtype, h0_ref, *refs):
   pred_ref[0] = out
 
 
-def _backward_kernel_t(depth, rsqrts, compute_dtype, h0_ref, *refs):
+def _backward_kernel_t(
+    depth, rsqrts, compute_dtype, group_dims, *refs
+):
   """Features-major backward: recompute forward, reverse chain, accumulate."""
+  num_groups = len(group_dims)
+  h0_refs = refs[:num_groups]
+  refs = refs[num_groups:]
   num_w = depth + 1
   w_refs = refs[:num_w]
   b_refs = refs[num_w : 2 * num_w]
   scales_ref, logit_ref, g_ref = refs[2 * num_w : 2 * num_w + 3]
   out_refs = refs[2 * num_w + 3 :]
-  dh0_ref = out_refs[0]
-  dw_refs = out_refs[1 : 1 + num_w]
-  db_refs = out_refs[1 + num_w : 1 + 2 * num_w]
-  dscales_ref = out_refs[1 + 2 * num_w]
-  dlogit_ref = out_refs[2 + 2 * num_w]
+  dh0_refs = out_refs[:num_groups]
+  out_refs = out_refs[num_groups:]
+  dw_refs = out_refs[:num_w]
+  db_refs = out_refs[num_w : 2 * num_w]
+  dscales_ref = out_refs[2 * num_w]
+  dlogit_ref = out_refs[2 * num_w + 1]
 
   t = pl.program_id(1)
 
@@ -440,7 +452,7 @@ def _backward_kernel_t(depth, rsqrts, compute_dtype, h0_ref, *refs):
 
   # Recompute forward, keeping the scaled matmul inputs and pre-activations.
   hs, zs = [], []
-  h = h0_ref[0]
+  h = jnp.concatenate([r[0] for r in h0_refs], axis=0)
   for l in range(depth):
     lhs = h * rsqrts[l]  # (fan_in, tile)
     z = s[l] * (
@@ -479,7 +491,10 @@ def _backward_kernel_t(depth, rsqrts, compute_dtype, h0_ref, *refs):
     dbs[l] = jnp.sum(dv, axis=1, keepdims=True)
     dh = _mm_t(w_refs[l][0], dv, ((1,), (0,)), compute_dtype) * rsqrts[l]
 
-  dh0_ref[0] = dh
+  off = 0
+  for ref, fg in zip(dh0_refs, group_dims):
+    ref[0] = dh[off : off + fg]
+    off += fg
 
   dscales_2d = (jnp.stack(ds) * ds_raw)[None, :]
   dlogit_2d = (dlogit_acc * w * (1.0 - w))[None, None]
@@ -509,7 +524,7 @@ def _pad_cols(x, tile):
   return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, padded - n),))
 
 
-def _specs_common_t(depth, tile, f, widths):
+def _specs_common_t(depth, tile, f, widths, group_dims):
   fan_ins = [f] + list(widths[:-1])
   w_specs = [
       pl.BlockSpec(
@@ -527,9 +542,12 @@ def _specs_common_t(depth, tile, f, widths):
       )
       for l in range(depth + 1)
   ]
-  h0_spec = pl.BlockSpec(
-      (1, f, tile), lambda e_, t_: (e_, 0, t_), memory_space=pltpu.VMEM
-  )
+  h0_specs = [
+      pl.BlockSpec(
+          (1, fg, tile), lambda e_, t_: (e_, 0, t_), memory_space=pltpu.VMEM
+      )
+      for fg in group_dims
+  ]
   scales_spec = pl.BlockSpec(
       (1, 1, depth + 1), lambda e_, t_: (e_, 0, 0), memory_space=pltpu.VMEM
   )
@@ -539,45 +557,55 @@ def _specs_common_t(depth, tile, f, widths):
   rows_spec = pl.BlockSpec(
       (1, 1, tile), lambda e_, t_: (e_, 0, t_), memory_space=pltpu.VMEM
   )
-  return h0_spec, w_specs, b_specs, scales_spec, logit_spec, rows_spec, fan_ins
+  return (
+      h0_specs, w_specs, b_specs, scales_spec, logit_spec, rows_spec, fan_ins
+  )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def fused_field_mlp_t(depth, tile, precision, h0_t, weights, biases,
+def fused_field_mlp_t(depth, tile, precision, h0_groups, weights, biases,
                       scales_raw, logit):
-  """Features-major fused MLP: (E, F, N) encoded inputs -> (E, N) preds.
+  """Features-major fused MLP: encoded groups -> (E, N) predictions.
 
   The transposed twin of :func:`fused_field_mlp`; this is the layout the
-  trainers use (rows on the lane axis, zero tiling padding).
+  trainers use (rows on the lane axis, zero tiling padding). `h0_groups`
+  is a tuple of per-feature-group arrays (E, f_g, N) — concatenated inside
+  the kernel in VMEM, so the concatenation never materializes in HBM.
   """
-  return _forward_t(depth, tile, precision, h0_t, weights, biases,
+  return _forward_t(depth, tile, precision, h0_groups, weights, biases,
                     scales_raw, logit)
 
 
-def _forward_t(depth, tile, precision, h0_t, weights, biases, scales_raw,
+def _forward_t(depth, tile, precision, h0_groups, weights, biases, scales_raw,
                logit):
-  e, f, n = h0_t.shape
+  e, _, n = h0_groups[0].shape
+  group_dims = tuple(g.shape[1] for g in h0_groups)
+  f = sum(group_dims)
   widths = [w.shape[-1] for w in weights]
   rsqrts = tuple(1.0 / math.sqrt(fi) for fi in [f] + list(widths[:-1]))
 
-  h0p = _pad_cols(h0_t, tile)
-  npad = h0p.shape[-1]
+  h0p = tuple(_pad_cols(g, tile) for g in h0_groups)
+  npad = h0p[0].shape[-1]
   grid = (e, npad // tile)
 
-  h0_spec, w_specs, b_specs, scales_spec, logit_spec, rows_spec, _ = (
-      _specs_common_t(depth, tile, f, widths)
+  h0_specs, w_specs, b_specs, scales_spec, logit_spec, rows_spec, _ = (
+      _specs_common_t(depth, tile, f, widths, group_dims)
   )
   pred = pl.pallas_call(
       functools.partial(
-          _forward_kernel_t, depth, rsqrts, _compute_dtype(precision)
+          _forward_kernel_t, depth, rsqrts, _compute_dtype(precision),
+          len(group_dims),
       ),
       grid=grid,
-      in_specs=[h0_spec, *w_specs, *b_specs, scales_spec, logit_spec],
+      in_specs=[*h0_specs, *w_specs, *b_specs, scales_spec, logit_spec],
       out_specs=rows_spec,
       out_shape=jax.ShapeDtypeStruct((e, 1, npad), jnp.float32),
+      # The 16 MB scoped-VMEM default is conservative (v5e has 128 MB);
+      # raise it so the multi-group double-buffered blocks fit.
+      compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
       interpret=_interpret(),
   )(
-      h0p,
+      *h0p,
       *weights,
       *[b[:, :, None] for b in biases],
       scales_raw[:, None, :],
@@ -586,26 +614,28 @@ def _forward_t(depth, tile, precision, h0_t, weights, biases, scales_raw,
   return pred[:, 0, :n]
 
 
-def _forward_t_fwd(depth, tile, precision, h0_t, weights, biases, scales_raw,
-                   logit):
-  pred = _forward_t(depth, tile, precision, h0_t, weights, biases,
+def _forward_t_fwd(depth, tile, precision, h0_groups, weights, biases,
+                   scales_raw, logit):
+  pred = _forward_t(depth, tile, precision, h0_groups, weights, biases,
                     scales_raw, logit)
-  return pred, (h0_t, weights, biases, scales_raw, logit)
+  return pred, (h0_groups, weights, biases, scales_raw, logit)
 
 
 def _forward_t_bwd(depth, tile, precision, residuals, g):
-  h0_t, weights, biases, scales_raw, logit = residuals
-  e, f, n = h0_t.shape
+  h0_groups, weights, biases, scales_raw, logit = residuals
+  e, _, n = h0_groups[0].shape
+  group_dims = tuple(gr.shape[1] for gr in h0_groups)
+  f = sum(group_dims)
   widths = [w.shape[-1] for w in weights]
   rsqrts = tuple(1.0 / math.sqrt(fi) for fi in [f] + list(widths[:-1]))
 
-  h0p = _pad_cols(h0_t, tile)
+  h0p = tuple(_pad_cols(gr, tile) for gr in h0_groups)
   gp = _pad_cols(g, tile)
-  npad = h0p.shape[-1]
+  npad = h0p[0].shape[-1]
   grid = (e, npad // tile)
 
-  h0_spec, w_specs, b_specs, scales_spec, logit_spec, rows_spec, fan_ins = (
-      _specs_common_t(depth, tile, f, widths)
+  h0_specs, w_specs, b_specs, scales_spec, logit_spec, rows_spec, fan_ins = (
+      _specs_common_t(depth, tile, f, widths, group_dims)
   )
   dw_specs = [
       pl.BlockSpec(
@@ -616,7 +646,10 @@ def _forward_t_bwd(depth, tile, precision, residuals, g):
       for l in range(depth + 1)
   ]
   out_shapes = (
-      [jax.ShapeDtypeStruct((e, f, npad), jnp.float32)]
+      [
+          jax.ShapeDtypeStruct((e, fg, npad), jnp.float32)
+          for fg in group_dims
+      ]
       + [
           jax.ShapeDtypeStruct((e, fan_ins[l], widths[l]), jnp.float32)
           for l in range(depth + 1)
@@ -630,20 +663,24 @@ def _forward_t_bwd(depth, tile, precision, residuals, g):
           jax.ShapeDtypeStruct((e, 1, 1), jnp.float32),
       ]
   )
-  out_specs = [h0_spec] + dw_specs + list(b_specs) + [scales_spec, logit_spec]
+  out_specs = (
+      list(h0_specs) + dw_specs + list(b_specs) + [scales_spec, logit_spec]
+  )
   outs = pl.pallas_call(
       functools.partial(
-          _backward_kernel_t, depth, rsqrts, _compute_dtype(precision)
+          _backward_kernel_t, depth, rsqrts, _compute_dtype(precision),
+          group_dims,
       ),
       grid=grid,
       in_specs=[
-          h0_spec, *w_specs, *b_specs, scales_spec, logit_spec, rows_spec
+          *h0_specs, *w_specs, *b_specs, scales_spec, logit_spec, rows_spec
       ],
       out_specs=out_specs,
       out_shape=out_shapes,
+      compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
       interpret=_interpret(),
   )(
-      h0p,
+      *h0p,
       *weights,
       *[b[:, :, None] for b in biases],
       scales_raw[:, None, :],
@@ -651,12 +688,14 @@ def _forward_t_bwd(depth, tile, precision, residuals, g):
       gp[:, None, :],
   )
 
-  dh0 = outs[0][:, :, :n]
+  num_groups = len(group_dims)
+  dh0 = tuple(o[:, :, :n] for o in outs[:num_groups])
+  rest = outs[num_groups:]
   num_w = depth + 1
-  dweights = tuple(outs[1 : 1 + num_w])
-  dbiases = tuple(o[:, :, 0] for o in outs[1 + num_w : 1 + 2 * num_w])
-  dscales = outs[1 + 2 * num_w][:, 0, :]
-  dlogit = outs[2 + 2 * num_w][:, 0, 0]
+  dweights = tuple(rest[:num_w])
+  dbiases = tuple(o[:, :, 0] for o in rest[num_w : 2 * num_w])
+  dscales = rest[2 * num_w][:, 0, :]
+  dlogit = rest[2 * num_w + 1][:, 0, 0]
   return dh0, dweights, dbiases, dscales, dlogit
 
 

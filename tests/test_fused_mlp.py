@@ -143,7 +143,7 @@ class TestTransposedKernels:
         depth, 32, 'f32', h0, weights, biases, scales_raw, logit
     )
     b = fused_mlp.fused_field_mlp_t(
-        depth, 32, 'f32', jnp.swapaxes(h0, 1, 2), weights, biases,
+        depth, 32, 'f32', (jnp.swapaxes(h0, 1, 2),), weights, biases,
         scales_raw, logit
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
@@ -159,8 +159,11 @@ class TestTransposedKernels:
 
     def loss_t(args):
       h0_t, weights, biases, scales_raw, logit = args
+      # Split h0 into two groups: exercises the in-VMEM concatenation and
+      # per-group gradient outputs.
+      groups = (h0_t[:, :5, :], h0_t[:, 5:, :])
       pred = fused_mlp.fused_field_mlp_t(
-          depth, 32, 'f32', h0_t, weights, biases, scales_raw, logit
+          depth, 32, 'f32', groups, weights, biases, scales_raw, logit
       )
       return jnp.sum(jnp.square(pred - y) * jnp.linspace(0.5, 1.5, 64))
 
