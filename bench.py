@@ -32,9 +32,12 @@ def main():
 
   small = bool(int(os.environ.get('BENCH_SMALL', '0')))
   precision = os.environ.get('BENCH_PRECISION', 'f32')
-  # Default to the fused-Pallas backend (fastest measured); fall back to the
-  # XLA backend if the kernel path fails to compile in this environment.
-  backend = os.environ.get('BENCH_BACKEND', 'pallas')
+  # Default to the fused-Pallas backend on TPU (fastest measured); fall back
+  # to the XLA backend if the kernel path fails to compile. Off-TPU the
+  # Pallas interpreter would be orders of magnitude slower than XLA.
+  backend = os.environ.get('BENCH_BACKEND') or (
+      'pallas' if jax.default_backend() == 'tpu' else 'xla'
+  )
   n_rows = 2048 if small else 38096
   width = 128 if small else 512
   ensemble = 8 if small else 64
