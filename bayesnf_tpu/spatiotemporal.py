@@ -333,6 +333,10 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
     train_target = self.data_handler.get_target(table)
     if batch_size is None:
       batch_size = train_data.shape[0]
+    # A batch larger than the dataset degenerates to full batch (the
+    # reference instead crashes on an assert; clamping is kinder and keeps
+    # the epoch scaling factor >= 1).
+    batch_size = min(batch_size, train_data.shape[0])
     if self._scale_epochs_by_batch_size:
       num_epochs = num_epochs * (train_data.shape[0] // batch_size)
     config = self._field_config((batch_size, train_data.shape[-1]))
@@ -419,6 +423,10 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
     train_target = self.data_handler.get_target(table)
     if batch_size is None:
       batch_size = train_data.shape[0]
+    # A batch larger than the dataset degenerates to full batch (the
+    # reference instead crashes on an assert; clamping is kinder and keeps
+    # the epoch scaling factor >= 1).
+    batch_size = min(batch_size, train_data.shape[0])
     if self._scale_epochs_by_batch_size:
       num_epochs = num_epochs * (train_data.shape[0] // batch_size)
     config = self._field_config((batch_size, train_data.shape[-1]))

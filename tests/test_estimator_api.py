@@ -232,3 +232,19 @@ class TestCountModels:
     dist = m.likelihood_model(df.head(20))
     lp = np.asarray(dist.log_prob(df.y.values[:20]))
     assert lp.shape == (1, 2) and np.all(np.isfinite(lp))
+
+
+def test_vi_batch_larger_than_dataset_clamps():
+  """Reference crashes when batch_size > N (assert); we clamp to full batch."""
+  rng = np.random.default_rng(0)
+  df = pd.DataFrame({
+      'time': np.arange(30, dtype=float),
+      'y': rng.normal(size=30),
+  })
+  m = BayesianNeuralFieldVI(
+      width=8, depth=1, feature_cols=['time'], target_col='y',
+      timetype='float',
+  )
+  m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=3,
+        batch_size=500, sample_size_posterior=2)
+  assert m.losses_.shape == (1, 2, 3)
