@@ -270,3 +270,19 @@ class TestPallasBackend:
     assert losses.shape == (3, 12)
     assert np.all(np.isfinite(losses))
     assert losses[:, -1].mean() < losses[:, 0].mean()
+
+  def test_pallas_nb_likelihood(self):
+    config = _small_config(width=16, depth=1)
+    rng = np.random.default_rng(5)
+    t = np.arange(96, dtype=np.float32) % 50
+    s = rng.normal(size=96).astype(np.float32)
+    x = np.stack([t, s], -1)
+    y = rng.poisson(np.exp(0.5 * np.sin(t / 8) + 1.0)).astype(np.float32)
+    params, losses = map_lib.ensemble_map(
+        _aug(config, x), y, config, likelihoods.LikelihoodDist.NB,
+        ensemble_size=2, learning_rate=0.01, num_epochs=15,
+        seed=jax.random.PRNGKey(0), backend='pallas',
+    )
+    losses = np.asarray(losses)
+    assert np.all(np.isfinite(losses))
+    assert losses[:, -1].mean() < losses[:, 0].mean()
