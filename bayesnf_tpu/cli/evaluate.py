@@ -83,6 +83,10 @@ def run_experiment(
       batch_size=inference_config.get('batch_size'),
       ensemble_size=inference_config['num_particles'],
   )
+  if objective != 'vi':
+    for key in ('backend', 'precision'):
+      if key in inference_config:
+        fit_kwargs[key] = inference_config[key]
   if objective == 'vi':
     fit_kwargs.update(
         kl_weight=inference_config.get('kl_weight', 1.0),
@@ -157,6 +161,14 @@ def main(argv=None):
       '--num_particles', type=int, default=None,
       help='Override the ensemble size.',
   )
+  parser.add_argument(
+      '--backend', default=None, choices=['xla', 'pallas'],
+      help='Trainer backend (map/mle): pallas = fused TPU kernels.',
+  )
+  parser.add_argument(
+      '--precision', default=None, choices=['f32', 'bf16'],
+      help='Matmul precision (map/mle; xla backend only for bf16).',
+  )
   args = parser.parse_args(argv)
 
   data_cfg = registry.dataset_config(args.dataset)
@@ -165,6 +177,10 @@ def main(argv=None):
     inference = registry.inference_config(args.dataset, args.objective)
     if args.num_particles:
       inference['num_particles'] = args.num_particles
+    if args.backend:
+      inference['backend'] = args.backend
+    if args.precision:
+      inference['precision'] = args.precision
     sid = data_cfg['series_id_fmt'](series_id)
     print(f'{args.dataset} series {sid} ({args.objective})')
     run_experiment(
