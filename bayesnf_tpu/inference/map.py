@@ -40,31 +40,6 @@ from bayesnf_tpu.models import priors
 from bayesnf_tpu.parallel import mesh as mesh_lib
 
 
-def _member_loss(
-    config, distribution, prior_weight, data_size, compute_dtype, params,
-    aug_batch_t, y_batch
-):
-  """Negative (loglik * N/B + prior_weight * prior) for one member/batch.
-
-  `aug_batch_t` is features-major, shape (D + 2F, B): the transposed layout
-  keeps the large row axis on the TPU lane dimension (see
-  `field.apply_field_t`).
-  """
-  d = config.num_inputs
-  x_t = aug_batch_t[:d]
-  seasonal_t = aug_batch_t[d:]
-  pred = field_lib.apply_field_t(
-      config, params, x_t, seasonal_t, compute_dtype=compute_dtype
-  )
-  scale = data_size / y_batch.shape[0]
-  loglik = likelihoods.log_likelihood(distribution, params, pred, y_batch)
-  if prior_weight == 0.0:
-    return -(loglik * scale)
-  return -(
-      loglik * scale + prior_weight * priors.prior_log_prob(config, params)
-  )
-
-
 @functools.lru_cache(maxsize=32)
 def _make_train_fn(
     config: field_lib.FieldConfig,
@@ -420,7 +395,22 @@ def ensemble_map(
   if checkpoint_dir is not None:
     from bayesnf_tpu.utils import checkpoint as ckpt_lib
 
-    checkpointer = ckpt_lib.TrainCheckpointer(checkpoint_dir)
+    checkpointer = ckpt_lib.TrainCheckpointer(
+        checkpoint_dir,
+        fingerprint=ckpt_lib.run_fingerprint(
+            kind='map',
+            config=config,
+            distribution=distribution.value,
+            ensemble_size=ensemble_size,
+            learning_rate=float(learning_rate),
+            # num_epochs intentionally excluded: extending a completed or
+            # interrupted run with a larger budget is a supported resume.
+            batch_size=int(batch_size),
+            data_size=data_size,
+            prior_weight=float(prior_weight),
+            precision=precision,
+        ),
+    )
     restored = checkpointer.restore_latest()
     if restored is not None:
       params = tuple(jnp.asarray(p) for p in restored.params)
@@ -477,7 +467,9 @@ def ensemble_map(
     )
     loss_chunks.append(np.asarray(losses))
     epoch += chunk
-    if checkpointer is not None and epoch < num_epochs:
+    # The final chunk is checkpointed too: re-invoking a completed run with
+    # the same directory resumes at epoch == num_epochs and is a no-op.
+    if checkpointer is not None:
       from bayesnf_tpu.utils import checkpoint as ckpt_lib
 
       checkpointer.save(

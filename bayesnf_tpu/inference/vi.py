@@ -246,7 +246,22 @@ def fit_vi(
   if checkpoint_dir is not None:
     from bayesnf_tpu.utils import checkpoint as ckpt_lib
 
-    checkpointer = ckpt_lib.TrainCheckpointer(checkpoint_dir)
+    checkpointer = ckpt_lib.TrainCheckpointer(
+        checkpoint_dir,
+        fingerprint=ckpt_lib.run_fingerprint(
+            kind='vi',
+            config=config,
+            distribution=distribution.value,
+            ensemble_size=ensemble_size,
+            learning_rate=float(learning_rate),
+            # num_steps intentionally excluded: extending a run is a
+            # supported resume.
+            batch_size=int(batch_size),
+            data_size=data_size,
+            sample_size_divergence=int(sample_size_divergence),
+            kl_weight=float(kl_weight),
+        ),
+    )
     restored = checkpointer.restore_latest()
     if restored is not None:
       locs_scales = restored.params  # (locs..., raw_scales...) flat tuple
@@ -288,7 +303,9 @@ def fit_vi(
     )
     loss_chunks.append(np.asarray(losses))
     step += chunk
-    if checkpointer is not None and step < num_steps:
+    # Final chunk checkpointed too: a completed run re-invoked with the
+    # same directory resumes at step == num_steps and is a no-op.
+    if checkpointer is not None:
       from bayesnf_tpu.utils import checkpoint as ckpt_lib
 
       checkpointer.save(

@@ -45,9 +45,14 @@ def _as_key(seed) -> jax.Array:
   return seed
 
 
-def _group_shape(ensemble_size: int) -> tuple[int, int]:
-  """Public (num_devices, per_device) factorization of the member axis."""
-  num_devices = jax.device_count()
+def _group_shape(ensemble_size: int, mesh=None) -> tuple[int, int]:
+  """Public (num_devices, per_device) factorization of the member axis.
+
+  Derived from the mesh the fit actually ran on (its total device count),
+  not the process-global device count — a fit on a custom sub-mesh keeps a
+  `params_` group shape consistent with its own compute layout.
+  """
+  num_devices = mesh.size if mesh is not None else jax.device_count()
   if ensemble_size % num_devices == 0:
     return (num_devices, ensemble_size // num_devices)
   return (1, ensemble_size)
@@ -135,8 +140,9 @@ class BayesianNeuralFieldEstimator:
       fourier_degrees = np.atleast_1d(self.fourier_degrees).astype(int)
       if fourier_degrees.shape[-1] != batch_shape[-1]:
         raise ValueError(
-            f'The length of fourier_degrees ({fourier_degrees.shape[-1]}) '
-            f'must match the input dimension ({batch_shape[-1]}).'
+            f'Got {fourier_degrees.shape[-1]} fourier_degrees for '
+            f'{batch_shape[-1]} feature columns; one degree per column is '
+            'required.'
         )
     return fourier_degrees
 
@@ -147,9 +153,9 @@ class BayesianNeuralFieldEstimator:
       interactions = np.array(self.interactions).astype(int)
       if np.ndim(interactions) != 2 or interactions.shape[-1] != 2:
         raise ValueError(
-            'The argument for `interactions` should be a 2-d array of'
-            ' integers of shape (N, 2), indicating the column indices to'
-            f' interact (the passed shape was {interactions.shape}).'
+            '`interactions` must be a sequence of (i, j) feature-column '
+            f'index pairs — an integer array of shape (N, 2); got shape '
+            f'{interactions.shape}.'
         )
     return interactions
 
@@ -363,7 +369,7 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
         precision=precision,
         backend=backend,
     )
-    g, m = _group_shape(ensemble_size)
+    g, m = _group_shape(ensemble_size, mesh)
     self.params_ = tuple(p.reshape((g, m) + p.shape[1:]) for p in params)
     self.losses_ = losses.reshape((g, m) + losses.shape[1:])
     self.mesh_ = mesh
@@ -453,7 +459,7 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
         checkpoint_every=checkpoint_every,
     )
     self.surrogate_ = jax.tree_util.tree_map(np.array, surrogate)
-    g, m = _group_shape(ensemble_size)
+    g, m = _group_shape(ensemble_size, mesh)
     s = int(sample_size_posterior)
     # Public contract: (num_devices, num_samples, ensemble_per_device, ...).
     self.params_ = tuple(

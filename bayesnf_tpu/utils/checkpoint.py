@@ -8,6 +8,9 @@ run match an uninterrupted one bit-for-bit (same RNG stream, same scan).
 """
 
 import dataclasses
+import hashlib
+import json
+import os
 
 import jax
 import numpy as np
@@ -79,12 +82,54 @@ def jnp_asarray(x):
   return jnp.asarray(x)
 
 
-class TrainCheckpointer:
-  """Thin orbax CheckpointManager wrapper keyed by epoch."""
+def run_fingerprint(**kwargs) -> str:
+  """Stable short digest of a training run's identifying configuration.
 
-  def __init__(self, directory: str, max_to_keep: int = 2):
+  Trainers pass every argument that determines the shape *and meaning* of
+  the checkpointed state (model config, objective, ensemble size, optimizer
+  settings, epoch budget, ...). A checkpoint directory written under one
+  fingerprint refuses to restore under another — catching both the
+  late-shape-error case (different model config) and the silent case
+  (same shapes, different run).
+  """
+  blob = repr(sorted(kwargs.items()))
+  return hashlib.sha256(blob.encode('utf-8')).hexdigest()[:16]
+
+
+class TrainCheckpointer:
+  """Thin orbax CheckpointManager wrapper keyed by epoch.
+
+  When `fingerprint` is given, it is persisted as `fingerprint.json` next
+  to the checkpoint steps; re-opening the directory with a different
+  fingerprint raises immediately instead of failing late (or silently
+  resuming the wrong run).
+  """
+
+  def __init__(
+      self,
+      directory: str,
+      max_to_keep: int = 2,
+      fingerprint: str | None = None,
+  ):
     if not _HAS_ORBAX:
       raise ImportError('orbax-checkpoint is required for checkpointing.')
+    directory = os.path.abspath(directory)
+    if fingerprint is not None:
+      os.makedirs(directory, exist_ok=True)
+      meta_path = os.path.join(directory, 'fingerprint.json')
+      if os.path.exists(meta_path):
+        with open(meta_path) as f:
+          stored = json.load(f).get('fingerprint')
+        if stored != fingerprint:
+          raise ValueError(
+              f'Checkpoint directory {directory!r} was written by a run '
+              f'with a different configuration (stored fingerprint '
+              f'{stored}, this run {fingerprint}). Use a fresh directory, '
+              'or delete the stale checkpoints.'
+          )
+      else:
+        with open(meta_path, 'w') as f:
+          json.dump({'fingerprint': fingerprint}, f)
     self._manager = ocp.CheckpointManager(
         directory,
         options=ocp.CheckpointManagerOptions(

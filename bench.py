@@ -15,11 +15,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from bayesnf_tpu.utils import profiling
 
 BASELINE_MEMBER_STEPS_PER_SEC_PER_CHIP = 27.8
 
@@ -87,8 +88,10 @@ def main():
         precision=precision,
         backend=backend,
     )
-    jax.block_until_ready(losses)
-    return losses
+    # Force host materialization: on some remote-device transports
+    # `block_until_ready` returns before execution finishes, so timing must
+    # fetch the result.
+    return np.asarray(losses)
 
   # Warmup/compile at the same static shape (epoch count is static: compile
   # once for the timed length). Fall back to the XLA backend if the Pallas
@@ -100,13 +103,13 @@ def main():
       raise
     backend = 'xla'
     run(timed_epochs, seed=0)
-  start = time.perf_counter()
-  losses = run(timed_epochs, seed=1)
-  elapsed = time.perf_counter() - start
+  with profiling.StepTimer(
+      member_steps=timed_epochs * ensemble, num_chips=n_chips
+  ) as timer:
+    losses = run(timed_epochs, seed=1)
 
-  assert np.all(np.isfinite(np.asarray(losses))), 'non-finite bench loss'
-  member_steps = timed_epochs * ensemble
-  value = member_steps / elapsed / n_chips
+  assert np.all(np.isfinite(losses)), 'non-finite bench loss'
+  value = timer.report.member_steps_per_sec_per_chip
   print(
       json.dumps({
           'metric': 'map_member_steps_per_sec_per_chip',

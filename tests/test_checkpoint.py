@@ -67,6 +67,33 @@ def test_resume_from_checkpoint_is_bit_exact(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_mismatched_config_checkpoint_raises(tmp_path):
+  config, aug, y = _setup()
+  ckdir = str(tmp_path / 'ck')
+  _run(config, aug, y, checkpoint_dir=ckdir, checkpoint_every=7)
+  # Same shapes, different learning rate: without the fingerprint this
+  # would silently resume the wrong run.
+  with pytest.raises(ValueError, match='different configuration'):
+    map_lib.ensemble_map(
+        aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=2, learning_rate=0.02, num_epochs=20,
+        seed=jax.random.PRNGKey(0), batch_size=20,
+        checkpoint_dir=ckdir, checkpoint_every=7,
+    )
+
+
+def test_completed_run_reinvocation_is_noop(tmp_path):
+  config, aug, y = _setup()
+  ckdir = str(tmp_path / 'ck')
+  p1, l1 = _run(config, aug, y, checkpoint_dir=ckdir, checkpoint_every=7)
+  # The run completed; its final state is checkpointed, so re-invoking with
+  # the same directory restores (no retraining) and returns identical state.
+  p2, l2 = _run(config, aug, y, checkpoint_dir=ckdir, checkpoint_every=7)
+  np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+  for a, b in zip(p1, p2):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestVICheckpoint:
 
   def _run_vi(self, config, aug, y, **kwargs):

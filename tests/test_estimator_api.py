@@ -248,3 +248,26 @@ def test_vi_batch_larger_than_dataset_clamps():
   m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=3,
         batch_size=500, sample_size_posterior=2)
   assert m.losses_.shape == (1, 2, 3)
+
+
+def test_custom_mesh_group_shape_matches_fit_mesh():
+  """params_ group shape derives from the mesh the fit ran on, not the
+  process-global device count (8 virtual devices here)."""
+  from bayesnf_tpu.parallel import mesh as mesh_lib
+
+  rng = np.random.default_rng(0)
+  df = pd.DataFrame({
+      'time': np.arange(40, dtype=float),
+      'y': rng.normal(size=40),
+  })
+  mesh = mesh_lib.default_mesh(devices=jax.devices()[:2])
+  m = BayesianNeuralFieldMAP(
+      width=8, depth=1, feature_cols=['time'], target_col='y',
+      timetype='float',
+  )
+  m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=4, num_epochs=3,
+        mesh=mesh)
+  # 4 members on a 2-device mesh -> public group shape (2, 2), even though
+  # jax.device_count() == 8 (which would have produced the degenerate (1, 4)).
+  assert m.params_[0].shape[:2] == (2, 2)
+  assert m.losses_.shape == (2, 2, 3)
