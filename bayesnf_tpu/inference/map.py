@@ -357,7 +357,7 @@ def ensemble_map(
     precision: 'f32' (reference-exact) or 'bf16' (bf16 MXU operands with
       f32 parameters and accumulation).
     backend: 'xla' (default) or 'pallas' (fused Pallas MLP kernels via
-      shard_map over the 'ens' axis; requires data axis 1 and f32).
+      shard_map over the 'ens' axis; requires data axis 1).
 
   Returns:
     (params, losses): params is the flat tuple with leading member axis
@@ -423,13 +423,6 @@ def ensemble_map(
 
   def make_train(chunk_epochs):
     if backend == 'pallas':
-      if precision != 'f32':
-        # jax 0.9's closed_call lowering cache mis-keys the shard_map +
-        # custom_vjp + mixed-dtype combination (MLIR verification failure);
-        # the f32 Pallas path is the fastest backend anyway.
-        raise ValueError(
-            "backend='pallas' currently supports precision='f32' only."
-        )
       return _make_pallas_train_fn(
           config,
           distribution,

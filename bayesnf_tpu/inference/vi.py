@@ -79,7 +79,6 @@ def _make_vi_fn(
     data_size: int,
     learning_rate: float,
     sample_size: int,
-    num_samples: int,
     kl_weight: float,
     mesh,
 ):
@@ -157,6 +156,155 @@ def init_vi_opt_state(learning_rate, surrogate):
 
 
 @functools.lru_cache(maxsize=32)
+def _make_pallas_vi_fn(
+    config: field_lib.FieldConfig,
+    distribution: likelihoods.LikelihoodDist,
+    num_steps: int,
+    batch_size: int,
+    data_size: int,
+    learning_rate: float,
+    sample_size: int,
+    kl_weight: float,
+    mesh,
+    precision: str = 'f32',
+    tile: int = 512,
+):
+  """Ensemble-VI step backed by the fused Pallas MLP kernels.
+
+  The ELBO's MC-sample axis is folded into the kernel's *member* axis:
+  each reparametrized draw carries its own sampled weights, so the local
+  ensemble presents (E_local * sample_size) independent parameter sets to
+  one `fused_field_mlp_t` invocation. Per-member RNG (step key splits,
+  draw sampling, minibatch permutation) matches `_make_vi_fn` exactly, so
+  the two backends agree up to matmul reassociation.
+
+  Wrapped in `jax.shard_map` over the mesh's 'ens' axis (Pallas calls are
+  not GSPMD-partitionable); requires data axis 1.
+  """
+  from bayesnf_tpu.ops import fused_mlp
+
+  if mesh.shape[mesh_lib.DATA_AXIS] != 1:
+    raise ValueError("backend='pallas' requires a mesh with data axis 1.")
+
+  optimizer = optax.adam(learning_rate)
+  d = config.num_inputs
+  num_w = config.depth + 1
+  lik_scale = (data_size / batch_size) / kl_weight
+  full_batch = batch_size == data_size
+
+  def folded_pred(z_f, aug_bt):
+    """Predictions for folded draws; aug (F,B) shared or (ES,F,B) per-draw."""
+    encode = lambda p, a: tuple(
+        field_lib.encode_t_groups(config, p, a[:d], a[d:])
+    )
+    if aug_bt.ndim == 2:
+      h0 = jax.vmap(encode, in_axes=(0, None))(z_f, aug_bt)
+    else:
+      h0 = jax.vmap(encode)(z_f, aug_bt)
+    weights = tuple(
+        z_f[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w)
+    )
+    biases = tuple(
+        z_f[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w)
+    )
+    return fused_mlp.fused_field_mlp_t(
+        config.depth,
+        tile,
+        precision,
+        h0,
+        weights,
+        biases,
+        z_f[field_lib.IDX_LAYER_SCALES],
+        z_f[field_lib.IDX_ACTIVATION_LOGIT],
+    )
+
+  def elbo_losses(surrogate, sample_keys, aug_bt, y_b):
+    """(E_local,) per-member negative ELBO (mean over MC draws)."""
+    locs, raw_scales = surrogate
+    scales = surrogate_scales(raw_scales)
+    # Per-member draws, exactly as the XLA path's per-member
+    # `_surrogate_sample(locs, scales, sample_key, (sample_size,))`.
+    z = jax.vmap(
+        lambda l, s, k: _surrogate_sample(l, s, k, (sample_size,))
+    )(locs, scales, sample_keys)  # leaves (E_local, S, ...)
+    e_local = z[0].shape[0]
+    z_f = tuple(p.reshape((e_local * sample_size,) + p.shape[2:]) for p in z)
+
+    if aug_bt.ndim == 3:
+      # Per-member minibatch: repeat each member's batch across its draws.
+      aug_f = jnp.repeat(aug_bt, sample_size, axis=0)
+      y_f = jnp.repeat(y_b, sample_size, axis=0)
+      pred = folded_pred(z_f, aug_f)
+      loglik = jax.vmap(
+          lambda p, pr, y: likelihoods.log_likelihood(distribution, p, pr, y)
+      )(z_f, pred, y_f)
+    else:
+      pred = folded_pred(z_f, aug_bt)
+      loglik = jax.vmap(
+          lambda p, pr: likelihoods.log_likelihood(
+              distribution, p, pr, y_b
+          )
+      )(z_f, pred)
+    prior = jax.vmap(lambda p: priors.prior_log_prob(config, p))(z_f)
+    target = (prior + loglik * lik_scale).reshape(e_local, sample_size)
+    logq = jax.vmap(
+        jax.vmap(_surrogate_log_prob, in_axes=(None, None, 0)),
+        in_axes=(0, 0, 0),
+    )(locs, scales, z)  # (E_local, S)
+    return (logq - target).mean(axis=1)
+
+  def shard_fit(surrogate, opt_state, keys, aug_t, target):
+    def one_step(carry, _):
+      surrogate, opt_state, keys = carry
+      split = jax.vmap(functools.partial(jax.random.split, num=3))(keys)
+      keys, sample_keys, batch_keys = split[:, 0], split[:, 1], split[:, 2]
+      if full_batch:
+        aug_bt, y_b = aug_t, target
+      else:
+        idx = jax.vmap(
+            lambda k: jax.random.permutation(k, data_size)[:batch_size]
+        )(batch_keys)  # (E_local, B)
+        aug_bt, y_b = aug_t[:, idx].transpose(1, 0, 2), target[idx]
+
+      def total(surrogate):
+        losses = elbo_losses(surrogate, sample_keys, aug_bt, y_b)
+        return losses.sum(), losses
+
+      (_, losses), grads = jax.value_and_grad(total, has_aux=True)(surrogate)
+      updates, opt_state = jax.vmap(optimizer.update)(grads, opt_state)
+      surrogate = optax.apply_updates(surrogate, updates)
+      return (surrogate, opt_state, keys), losses
+
+    (surrogate, opt_state, keys), losses = jax.lax.scan(
+        one_step, (surrogate, opt_state, keys), None, length=num_steps
+    )
+    # (num_steps, E_local) -> (E_local, num_steps), x kl_weight as in the
+    # reference's returned history (inference.py:755-758).
+    return surrogate, opt_state, keys, losses.T * kl_weight
+
+  num_leaves = len(field_lib.param_specs(config))
+  p_ens = jax.sharding.PartitionSpec(mesh_lib.ENSEMBLE_AXIS)
+  p_rep = jax.sharding.PartitionSpec()
+  params_spec = (p_ens,) * num_leaves
+  surr_spec = (params_spec, params_spec)
+  opt_spec = jax.tree_util.tree_map(
+      lambda _: p_ens,
+      optimizer.init((
+          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
+          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
+      )),
+  )
+  sharded = jax.shard_map(
+      shard_fit,
+      mesh=mesh,
+      in_specs=(surr_spec, opt_spec, p_ens, p_rep, p_rep),
+      out_specs=(surr_spec, opt_spec, p_ens, p_ens),
+      check_vma=False,
+  )
+  return jax.jit(sharded, donate_argnums=(0, 1, 2))
+
+
+@functools.lru_cache(maxsize=32)
 def _make_vi_draw_fn(config: field_lib.FieldConfig, num_samples: int, mesh):
   """Jitted posterior-draw program: (surrogate, keys) -> param draws."""
 
@@ -193,6 +341,8 @@ def fit_vi(
     mesh=None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int | None = None,
+    precision: str = 'f32',
+    backend: str = 'xla',
 ):
   """Fit an ensemble of mean-field surrogate posteriors.
 
@@ -215,6 +365,11 @@ def fit_vi(
     checkpoint_dir: when set, optimization runs in `checkpoint_every`-step
       chunks persisted via orbax; an existing checkpoint resumes bit-exactly.
     checkpoint_every: steps per checkpoint chunk (default: 10% of steps).
+    precision: 'f32' (default) or 'bf16' (bf16 MXU operands, f32
+      accumulation).
+    backend: 'xla' (default) or 'pallas' (fused Pallas MLP kernels with the
+      MC-sample axis folded into the kernel member axis; data axis must
+      be 1).
 
   Returns:
     (surrogate, losses, draws):
@@ -278,6 +433,21 @@ def fit_vi(
       checkpoint_every = max(1, num_steps // 10)
 
   def make_fit(chunk_steps):
+    if backend == 'pallas':
+      return _make_pallas_vi_fn(
+          config,
+          distribution,
+          chunk_steps,
+          int(batch_size),
+          data_size,
+          float(learning_rate),
+          int(sample_size_divergence),
+          float(kl_weight),
+          mesh,
+          precision,
+      )
+    if backend != 'xla':
+      raise ValueError(f'Unknown backend: {backend!r}')
     return _make_vi_fn(
         config,
         distribution,
@@ -286,7 +456,6 @@ def fit_vi(
         data_size,
         float(learning_rate),
         int(sample_size_divergence),
-        int(sample_size_posterior),
         float(kl_weight),
         mesh,
     )

@@ -68,7 +68,10 @@ def _act_grad(z, w):
 
 
 def _mm(a, b, compute_dtype):
-  if compute_dtype is not None:
+  # Dots whose result has a size-1 minor dim stay f32: Mosaic lowers them
+  # via a multiply+reduce whose bf16->f32 vector.broadcast fails to verify
+  # (and they are tiny VPU ops with no MXU upside anyway).
+  if compute_dtype is not None and b.shape[-1] > 1:
     a = a.astype(compute_dtype)
     b = b.astype(compute_dtype)
   return jnp.dot(a, b, preferred_element_type=jnp.float32)
@@ -258,6 +261,21 @@ def _compute_dtype(precision):
   return {'f32': None, 'bf16': jnp.bfloat16}[precision]
 
 
+def _named_kernel(fn, name):
+  """Wrap a kernel so its __name__ encodes parameters invisible to shapes.
+
+  The compile cache keys Pallas programs by (name, shapes, specs); the
+  compute dtype only changes the kernel *body* (in-kernel casts), so two
+  precisions would otherwise collide and whichever compiled first would
+  silently serve both (observed on the v5e remote-compile path).
+  """
+  def wrapper(*args, **kwargs):
+    return fn(*args, **kwargs)
+
+  wrapper.__name__ = name
+  return wrapper
+
+
 def _forward(depth, tile, precision, h0, weights, biases, scales_raw, logit):
   e, n, f = h0.shape
   widths = [w.shape[-1] for w in weights]
@@ -273,8 +291,11 @@ def _forward(depth, tile, precision, h0, weights, biases, scales_raw, logit):
       _specs_common(depth, tile, e, f, widths)
   )
   pred = pl.pallas_call(
-      functools.partial(
-          _forward_kernel, depth, rsqrts, _compute_dtype(precision)
+      _named_kernel(
+          functools.partial(
+              _forward_kernel, depth, rsqrts, _compute_dtype(precision)
+          ),
+          f'fused_mlp_fwd_{precision}',
       ),
       grid=grid,
       in_specs=[h0_spec, *w_specs, *b_specs, scales_spec, logit_spec],
@@ -342,8 +363,11 @@ def _forward_bwd(depth, tile, precision, residuals, g):
       + [scales_spec, logit_spec]
   )
   outs = pl.pallas_call(
-      functools.partial(
-          _backward_kernel, depth, rsqrts, _compute_dtype(precision)
+      _named_kernel(
+          functools.partial(
+              _backward_kernel, depth, rsqrts, _compute_dtype(precision)
+          ),
+          f'fused_mlp_bwd_{precision}',
       ),
       grid=grid,
       in_specs=[
@@ -385,7 +409,12 @@ fused_field_mlp.defvjp(_forward_fwd, _forward_bwd)
 
 def _mm_t(a, b, contract, compute_dtype):
   """dot_general contracting `contract` = ((a_axes), (b_axes)), f32 accum."""
-  if compute_dtype is not None:
+  # Result minor dim = b's first non-contracted dim. Size-1 results stay
+  # f32: Mosaic's multiply+reduce lowering for them trips a bf16->f32
+  # vector.broadcast verification failure, and they are tiny VPU ops.
+  (b_c,) = contract[1]
+  b_free = b.shape[1 - b_c]
+  if compute_dtype is not None and b_free > 1:
     a = a.astype(compute_dtype)
     b = b.astype(compute_dtype)
   return jax.lax.dot_general(
@@ -592,9 +621,12 @@ def _forward_t(depth, tile, precision, h0_groups, weights, biases, scales_raw,
       _specs_common_t(depth, tile, f, widths, group_dims)
   )
   pred = pl.pallas_call(
-      functools.partial(
-          _forward_kernel_t, depth, rsqrts, _compute_dtype(precision),
-          len(group_dims),
+      _named_kernel(
+          functools.partial(
+              _forward_kernel_t, depth, rsqrts, _compute_dtype(precision),
+              len(group_dims),
+          ),
+          f'fused_mlp_t_fwd_{precision}',
       ),
       grid=grid,
       in_specs=[*h0_specs, *w_specs, *b_specs, scales_spec, logit_spec],
@@ -667,9 +699,12 @@ def _forward_t_bwd(depth, tile, precision, residuals, g):
       list(h0_specs) + dw_specs + list(b_specs) + [scales_spec, logit_spec]
   )
   outs = pl.pallas_call(
-      functools.partial(
-          _backward_kernel_t, depth, rsqrts, _compute_dtype(precision),
-          group_dims,
+      _named_kernel(
+          functools.partial(
+              _backward_kernel_t, depth, rsqrts, _compute_dtype(precision),
+              group_dims,
+          ),
+          f'fused_mlp_t_bwd_{precision}',
       ),
       grid=grid,
       in_specs=[

@@ -402,6 +402,8 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
       mesh=None,
       checkpoint_dir=None,
       checkpoint_every=None,
+      precision='f32',
+      backend='xla',
   ) -> BayesianNeuralFieldEstimator:
     """Run stochastic ensemble variational inference.
 
@@ -420,6 +422,8 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
       checkpoint_dir: when set, VI optimization checkpoints periodically and
         an interrupted fit resumes bit-exactly.
       checkpoint_every: steps between checkpoints (default steps//10).
+      precision: 'f32' (default) or 'bf16' (mixed-precision matmuls).
+      backend: 'xla' (default) or 'pallas' (fused Pallas MLP kernels).
 
     Returns:
       self.
@@ -457,6 +461,8 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
         mesh=mesh,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
+        precision=precision,
+        backend=backend,
     )
     self.surrogate_ = jax.tree_util.tree_map(np.array, surrogate)
     g, m = _group_shape(ensemble_size, mesh)

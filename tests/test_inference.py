@@ -286,3 +286,43 @@ class TestPallasBackend:
     losses = np.asarray(losses)
     assert np.all(np.isfinite(losses))
     assert losses[:, -1].mean() < losses[:, 0].mean()
+
+
+class TestPallasVIBackend:
+
+  def _common(self, config, x, y, batch_size=None):
+    return dict(
+        aug_features=_aug(config, x), target=y,
+        seed=jax.random.PRNGKey(0), observation_model='NORMAL',
+        config=config, ensemble_size=2, learning_rate=0.02,
+        num_epochs=6, sample_size_divergence=3, sample_size_posterior=4,
+        kl_weight=0.2, batch_size=batch_size,
+    )
+
+  def test_vi_matches_xla_backend(self):
+    config = _small_config(width=16, depth=1)
+    x, y = _small_data(n=96)
+    common = self._common(config, x, y)
+    s_x, l_x, d_x = vi_lib.fit_vi(backend='xla', **common)
+    s_p, l_p, d_p = vi_lib.fit_vi(backend='pallas', **common)
+    l_x, l_p = np.asarray(l_x), np.asarray(l_p)
+    # Identical RNG (step keys, MC draws, minibatch permutation); only
+    # matmul tiling differs.
+    np.testing.assert_allclose(l_x[:, 0], l_p[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(l_x, l_p, rtol=1e-3, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_x),
+                    jax.tree_util.tree_leaves(s_p)):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3
+      )
+
+  def test_vi_minibatch_pallas(self):
+    config = _small_config(width=16, depth=1)
+    x, y = _small_data(n=96)
+    common = self._common(config, x, y, batch_size=32)
+    s_x, l_x, _ = vi_lib.fit_vi(backend='xla', **common)
+    s_p, l_p, _ = vi_lib.fit_vi(backend='pallas', **common)
+    l_x, l_p = np.asarray(l_x), np.asarray(l_p)
+    assert l_p.shape == (2, 6)
+    np.testing.assert_allclose(l_x[:, 0], l_p[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(l_x, l_p, rtol=2e-3, atol=1e-3)
