@@ -14,9 +14,15 @@ Methods:
   (sklearn), optionally on BayesNF's own seasonal/Fourier features.
 - ``TSREG``   — trend-surface OLS/RIDGE/LASSO on BayesNF features with a
   residual-variance Gaussian band (sklearn).
-- ``SVGP`` / ``ST-SVGP`` / ``MF-ST-SVGP`` / ``NF`` — gated: these need
-  gpflow / bayesnewton / neuralforecast, which are not vendored here; the
-  CLI reports the missing dependency instead of crashing.
+- ``SVGP``   — GPflow sparse variational GP with natural gradients
+  (`baseline_gp.run_svgp`).
+- ``ST-SVGP`` / ``MF-ST-SVGP`` — BayesNewton spatiotemporal state-space
+  GPs on a dense (time x space) grid (`baseline_gp.run_st_svgp`).
+- ``NF``     — NeuralForecast NBEATS-family models (`baseline_nf.run_nf`).
+
+The GP/NF drivers import their heavy dependencies (gpflow+tensorflow,
+bayesnewton+objax, neuralforecast) lazily at run time and exit with a
+clear message when one is missing.
 
 Usage:
   python -m bayesnf_tpu.cli.evaluate_baseline --algorithm=GBOOST \
@@ -25,7 +31,7 @@ Usage:
 """
 
 import argparse
-import importlib
+import functools
 import os
 import time
 
@@ -208,34 +214,40 @@ def run_tsreg(
   )
 
 
-def _gated(module, method):
-  def run(*args, **kwargs):
-    raise SystemExit(
-        f'Baseline {method!r} requires the optional dependency {module!r}, '
-        'which is not installed in this environment. Install it and re-run, '
-        'or use one of: RF, GBOOST, TSREG.'
-    )
+def run_svgp(data_root, dataset, series_id, output_dir, num_z=2000, **kw):
+  from bayesnf_tpu.cli import baseline_gp
 
-  try:
-    importlib.import_module(module)
-  except ImportError:
-    return run
-  raise NotImplementedError(
-      f'{method} harness: {module} is present but this port does not bundle '
-      'a driver for it yet.'
+  return baseline_gp.run_svgp(
+      data_root, dataset, series_id, output_dir, num_z=num_z,
+      **baseline_gp.SVGP_CONFIG.get(dataset, {}), **kw,
   )
+
+
+def run_st_svgp(data_root, dataset, series_id, output_dir, method='ST-SVGP',
+                **kw):
+  from bayesnf_tpu.cli import baseline_gp
+
+  cfg = dict(baseline_gp.ST_SVGP_CONFIG.get(dataset, {}))
+  cfg.update(kw)
+  return baseline_gp.run_st_svgp(
+      data_root, dataset, series_id, output_dir, method=method, **cfg
+  )
+
+
+def run_nf(data_root, dataset, series_id, output_dir, **kw):
+  from bayesnf_tpu.cli import baseline_nf
+
+  return baseline_nf.run_nf(data_root, dataset, series_id, output_dir, **kw)
 
 
 METHODS = {
     'RF': run_rf,
     'GBOOST': run_gboost,
     'TSREG': run_tsreg,
-}
-OPTIONAL = {
-    'SVGP': 'gpflow',
-    'ST-SVGP': 'bayesnewton',
-    'MF-ST-SVGP': 'bayesnewton',
-    'NF': 'neuralforecast',
+    'SVGP': run_svgp,
+    'ST-SVGP': run_st_svgp,
+    'MF-ST-SVGP': functools.partial(run_st_svgp, method='MF-ST-SVGP'),
+    'NF': run_nf,
 }
 
 
@@ -247,8 +259,7 @@ def main(argv=None):
       '--dataset', required=True, choices=sorted(registry.REGISTRY)
   )
   parser.add_argument(
-      '--algorithm', required=True,
-      choices=sorted(METHODS) + sorted(OPTIONAL),
+      '--algorithm', required=True, choices=sorted(METHODS),
   )
   parser.add_argument('--start_id', type=int, default=5)
   parser.add_argument('--stop_id', type=int, default=None)
@@ -257,12 +268,13 @@ def main(argv=None):
   parser.add_argument(
       '--tsreg_method', default='OLS', choices=['OLS', 'RIDGE', 'LASSO']
   )
+  parser.add_argument('--svgp_num_z', type=int, default=2000)
+  parser.add_argument('--nf_method', default='NBEATS')
+  parser.add_argument('--nf_epochs', type=int, default=5000)
+  parser.add_argument('--nf_window', type=int, default=5)
   args = parser.parse_args(argv)
 
-  if args.algorithm in OPTIONAL:
-    runner = _gated(OPTIONAL[args.algorithm], args.algorithm)
-  else:
-    runner = METHODS[args.algorithm]
+  runner = METHODS[args.algorithm]
 
   data_cfg = registry.dataset_config(args.dataset)
   stop_id = args.stop_id if args.stop_id is not None else data_cfg['num_series']
@@ -274,6 +286,10 @@ def main(argv=None):
         n_estimators=args.gboost_estimators,
         use_features=args.gboost_featurize,
         tsreg_method=args.tsreg_method,
+        num_z=args.svgp_num_z,
+        nf_method=args.nf_method,
+        nf_epochs=args.nf_epochs,
+        nf_window=args.nf_window,
     )
     print(f'  -> {path}')
 

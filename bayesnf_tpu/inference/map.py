@@ -188,7 +188,7 @@ def _make_pallas_train_fn(
     prior_weight: float,
     mesh,
     precision: str = 'f32',
-    tile: int = 512,
+    tile: int | None = None,
 ):
   """Ensemble training step backed by the fused Pallas MLP kernels.
 
@@ -208,6 +208,8 @@ def _make_pallas_train_fn(
   d = config.num_inputs
   num_w = config.depth + 1
   full_batch = batch_size == data_size
+  if tile is None:
+    tile = fused_mlp.pick_tile(config.width, batch_size)
 
   def ensemble_losses(params_b, aug_bt, y_b):
     """(E,) per-member losses; aug_bt (F,B) shared or (E,F,B) per member."""
@@ -250,13 +252,75 @@ def _make_pallas_train_fn(
     losses = ensemble_losses(params_b, aug_b, y_b)
     return losses.sum(), losses
 
+  def fused_losses_and_grads(params_b, aug_b, y_b):
+    """Losses and grads via the single-pass fused train kernel (NORMAL).
+
+    One Pallas program per step: in-kernel encode (octave Fourier via the
+    double-angle recurrence, hand-derived backward) + forward + likelihood
+    + backward with activations resident in VMEM — no second forward, no
+    recompute, no XLA encode/likelihood segments, and no per-member
+    (E, F, N) h0/dh0 HBM round-trips. Only the (parameter-only) prior term
+    stays in XLA.
+    """
+    weights = tuple(
+        params_b[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w)
+    )
+    biases = tuple(
+        params_b[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w)
+    )
+    x_b = aug_b[..., :d, :]
+    seasonal_b = aug_b[..., d:, :]
+    losses, dlsa, dfs, dws, dbs, dscales, dlogit, dnoise = (
+        fused_mlp.fused_normal_train(
+            config.depth,
+            tile,
+            data_size / batch_size,
+            config.input_scales,
+            config.fourier_degrees,
+            config.interactions,
+            x_b,
+            seasonal_b,
+            weights,
+            biases,
+            params_b[field_lib.IDX_LOG_SCALE_ADJ],
+            params_b[field_lib.IDX_FEATURE_SCALES],
+            params_b[field_lib.IDX_LAYER_SCALES],
+            params_b[field_lib.IDX_ACTIVATION_LOGIT],
+            params_b[field_lib.IDX_LOG_NOISE_SCALE],
+            y_b,
+        )
+    )
+    grads = [jnp.zeros_like(p) for p in params_b]
+    grads[field_lib.IDX_LOG_SCALE_ADJ] = dlsa
+    grads[field_lib.IDX_FEATURE_SCALES] = dfs
+    grads[field_lib.IDX_LOG_NOISE_SCALE] = dnoise
+    grads[field_lib.IDX_LAYER_SCALES] = dscales
+    grads[field_lib.IDX_ACTIVATION_LOGIT] = dlogit
+    for l in range(num_w):
+      grads[field_lib.IDX_FIRST_DENSE + 2 * l] = dws[l]
+      grads[field_lib.IDX_FIRST_DENSE + 2 * l + 1] = dbs[l]
+    if prior_weight != 0.0:
+      prior_losses, prior_grads = jax.vmap(
+          jax.value_and_grad(
+              lambda p: -prior_weight * priors.prior_log_prob(config, p)
+          )
+      )(params_b)
+      losses = losses + prior_losses
+      grads = [g + pg for g, pg in zip(grads, prior_grads)]
+    return losses, tuple(grads)
+
+  use_fused_train = distribution == likelihoods.LikelihoodDist.NORMAL
+
   def shard_train(params_b, opt_b, keys_b, aug_t, target):
     def one_step(carry, batch):
       params_b, opt_b = carry
       aug_b, y_b = batch
-      (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(
-          params_b, aug_b, y_b
-      )
+      if use_fused_train:
+        losses, grads = fused_losses_and_grads(params_b, aug_b, y_b)
+      else:
+        (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(
+            params_b, aug_b, y_b
+        )
       updates, opt_b = jax.vmap(optimizer.update)(grads, opt_b)
       params_b = optax.apply_updates(params_b, updates)
       return (tuple(params_b), opt_b), losses

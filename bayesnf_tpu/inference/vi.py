@@ -167,7 +167,7 @@ def _make_pallas_vi_fn(
     kl_weight: float,
     mesh,
     precision: str = 'f32',
-    tile: int = 512,
+    tile: int | None = None,
 ):
   """Ensemble-VI step backed by the fused Pallas MLP kernels.
 
@@ -191,6 +191,8 @@ def _make_pallas_vi_fn(
   num_w = config.depth + 1
   lik_scale = (data_size / batch_size) / kl_weight
   full_batch = batch_size == data_size
+  if tile is None:
+    tile = fused_mlp.pick_tile(config.width, batch_size)
 
   def folded_pred(z_f, aug_bt):
     """Predictions for folded draws; aug (F,B) shared or (ES,F,B) per-draw."""
@@ -218,6 +220,75 @@ def _make_pallas_vi_fn(
         z_f[field_lib.IDX_ACTIVATION_LOGIT],
     )
 
+  def make_kernel_nll(aug_bt, y_b):
+    """lik_scale * -loglik as a custom-VJP op over the fused train kernel.
+
+    The kernel (`fused_mlp.fused_normal_train`) produces the loss AND all
+    its parameter gradients in one pass; wrapping it in `custom_vjp` (the
+    forward saves the gradients as residuals, the backward scales them by
+    the incoming per-member cotangent) lets JAX autodiff compose the rest
+    of the ELBO — the reparametrized sampling, log q, and prior — around
+    it untouched.
+    """
+    x_b = aug_bt[..., :d, :]
+    seasonal_b = aug_bt[..., d:, :]
+
+    def run_kernel(z_f):
+      weights = tuple(
+          z_f[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w)
+      )
+      biases = tuple(
+          z_f[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w)
+      )
+      return fused_mlp.fused_normal_train(
+          config.depth,
+          tile,
+          lik_scale,
+          config.input_scales,
+          config.fourier_degrees,
+          config.interactions,
+          x_b,
+          seasonal_b,
+          weights,
+          biases,
+          z_f[field_lib.IDX_LOG_SCALE_ADJ],
+          z_f[field_lib.IDX_FEATURE_SCALES],
+          z_f[field_lib.IDX_LAYER_SCALES],
+          z_f[field_lib.IDX_ACTIVATION_LOGIT],
+          z_f[field_lib.IDX_LOG_NOISE_SCALE],
+          y_b,
+      )
+
+    @jax.custom_vjp
+    def kernel_nll(z_f):
+      return run_kernel(z_f)[0]
+
+    def fwd(z_f):
+      losses, dlsa, dfs, dws, dbs, dscales, dlogit, dnoise = run_kernel(z_f)
+      return losses, (dlsa, dfs, dws, dbs, dscales, dlogit, dnoise)
+
+    def bwd(res, g):
+      dlsa, dfs, dws, dbs, dscales, dlogit, dnoise = res
+      grads = [None] * len(field_lib.param_specs(config))
+      def scaled(grad):
+        return grad * g.reshape((-1,) + (1,) * (grad.ndim - 1))
+      grads[field_lib.IDX_LOG_NOISE_SCALE] = scaled(dnoise)
+      grads[field_lib.IDX_NB_SHAPE_RAW] = jnp.zeros_like(dnoise)
+      grads[field_lib.IDX_ZINB_LOGIT] = jnp.zeros_like(dnoise)
+      grads[field_lib.IDX_LOG_SCALE_ADJ] = scaled(dlsa)
+      grads[field_lib.IDX_FEATURE_SCALES] = scaled(dfs)
+      grads[field_lib.IDX_ACTIVATION_LOGIT] = scaled(dlogit)
+      grads[field_lib.IDX_LAYER_SCALES] = scaled(dscales)
+      for l in range(num_w):
+        grads[field_lib.IDX_FIRST_DENSE + 2 * l] = scaled(dws[l])
+        grads[field_lib.IDX_FIRST_DENSE + 2 * l + 1] = scaled(dbs[l])
+      return (tuple(grads),)
+
+    kernel_nll.defvjp(fwd, bwd)
+    return kernel_nll
+
+  use_fused_train = distribution == likelihoods.LikelihoodDist.NORMAL
+
   def elbo_losses(surrogate, sample_keys, aug_bt, y_b):
     """(E_local,) per-member negative ELBO (mean over MC draws)."""
     locs, raw_scales = surrogate
@@ -230,23 +301,30 @@ def _make_pallas_vi_fn(
     e_local = z[0].shape[0]
     z_f = tuple(p.reshape((e_local * sample_size,) + p.shape[2:]) for p in z)
 
-    if aug_bt.ndim == 3:
+    per_member_batch = aug_bt.ndim == 3
+    if per_member_batch:
       # Per-member minibatch: repeat each member's batch across its draws.
       aug_f = jnp.repeat(aug_bt, sample_size, axis=0)
       y_f = jnp.repeat(y_b, sample_size, axis=0)
+    else:
+      aug_f, y_f = aug_bt, y_b
+
+    if use_fused_train:
+      nll = make_kernel_nll(aug_f, y_f)(z_f)  # (ES,) = -loglik * lik_scale
+    elif per_member_batch:
       pred = folded_pred(z_f, aug_f)
-      loglik = jax.vmap(
+      nll = -lik_scale * jax.vmap(
           lambda p, pr, y: likelihoods.log_likelihood(distribution, p, pr, y)
       )(z_f, pred, y_f)
     else:
-      pred = folded_pred(z_f, aug_bt)
-      loglik = jax.vmap(
+      pred = folded_pred(z_f, aug_f)
+      nll = -lik_scale * jax.vmap(
           lambda p, pr: likelihoods.log_likelihood(
-              distribution, p, pr, y_b
+              distribution, p, pr, y_f
           )
       )(z_f, pred)
     prior = jax.vmap(lambda p: priors.prior_log_prob(config, p))(z_f)
-    target = (prior + loglik * lik_scale).reshape(e_local, sample_size)
+    target = (prior - nll).reshape(e_local, sample_size)
     logq = jax.vmap(
         jax.vmap(_surrogate_log_prob, in_axes=(None, None, 0)),
         in_axes=(0, 0, 0),

@@ -42,6 +42,17 @@ def _interpret() -> bool:
   return jax.default_backend() != 'tpu'
 
 
+def pick_tile(width: int, rows: int) -> int:
+  """Row-tile heuristic (measured on v5e, width-512 x 38k workload).
+
+  Larger tiles amortize per-cell sequencing (2048 beats 512 by ~7%), but
+  tile x width activation buffers must stay well inside VMEM, and tiny
+  batches shouldn't pad up to a huge tile.
+  """
+  cap = 2048 if width <= 512 else 1024 if width <= 1024 else 512
+  return min(cap, max(128, math.ceil(rows / 128) * 128))
+
+
 def _act_parts(z):
   """(elu(z), tanh(z), elu'(z)).
 
@@ -735,3 +746,459 @@ def _forward_t_bwd(depth, tile, precision, residuals, g):
 
 
 fused_field_mlp_t.defvjp(_forward_t_fwd, _forward_t_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused train-step kernel (NORMAL likelihood): encode + forward + loss +
+# backward in ONE pallas_call, with activations saved in VMEM.
+#
+# Rationale (measured, v5e, 64x38k x width-512): the two-kernel custom-VJP
+# path costs fwd 19 ms + bwd 37 ms (of which ~19 ms recomputes the forward
+# it just ran, flash-style) plus ~12 ms of XLA encode fwd+VJP and ~1 GB of
+# HBM traffic for the per-member (E, F, N) h0 and dh0 round-trips. Here one
+# program per (member, row-tile) cell:
+#   - encodes the tile from the SHARED raw inputs (scaled inputs, octave
+#     Fourier features via the double-angle recurrence, precomputed seasonal
+#     rows, interaction products) with a hand-derived backward — the only
+#     learned encode inputs are the per-member scale adjustments, whose
+#     gradients are tiny (D,) / (G,) vectors;
+#   - runs the MLP forward keeping pre-matmul inputs and pre-activations
+#     resident in VMEM (~4 MB/cell at width 512);
+#   - computes the NORMAL negative log-likelihood, its pred-cotangent, and
+#     the noise-scale gradient in a few VPU ops on the (1, tile) pred row;
+#   - runs the backward chain from the saved activations (no recompute),
+#     accumulating weight/bias/scalar gradients across row tiles in VMEM.
+# Nothing larger than the raw (D + 2F_seasonal, N) inputs touches HBM.
+# ---------------------------------------------------------------------------
+
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+_TWO_PI = 2.0 * math.pi
+
+
+def _encode_in_kernel(fourier_degrees, interactions, x, seasonal, lsa_col,
+                      fs_col):
+  """Encode one row tile inside the kernel; returns VJP residuals.
+
+  Mirrors `field.encode_t_groups` exactly (group order: scaled inputs,
+  per-dim octave Fourier, seasonal, interactions — reference
+  models.py:242-251), with each octave after the first produced by the
+  double-angle recurrence. `lsa_col` is the *effective* log scale (the
+  static input_scales are pre-folded in by the caller, so the kernel
+  captures no array constants and d/d(lsa) passes through unchanged).
+
+  Returns:
+    (h0, residuals): h0 is the (F, tile) encoded block; residuals carry
+    the scaled inputs, the per-dim cos/sin octave chains, and the raw
+    (pre-group-scale) rows needed by :func:`_encode_backward_in_kernel`.
+  """
+  sx = x * jnp.exp(-lsa_col)  # (D, tile)
+  # Rank-0 per-group scales: Mosaic supports scalar->vector broadcasts but
+  # not (1, 1) -> (rows, lanes) vector broadcasts.
+  fs = [jax.nn.softplus(fs_col[i, 0]) for i in range(fs_col.shape[0])]
+
+  raw_groups = [sx]
+  chains = []  # per fourier dim: (coss list, sins list)
+  for i, degree in enumerate(fourier_degrees):
+    if degree <= 0:
+      continue
+    theta = _TWO_PI * sx[i : i + 1]  # (1, tile)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    coss, sins = [c], [s]
+    for _ in range(degree - 1):
+      c, s = 2.0 * c * c - 1.0, 2.0 * s * c
+      coss.append(c)
+      sins.append(s)
+    denoms = [1.0 / (k + 1) for k in range(degree)]
+    rows = jnp.concatenate(
+        [ck * dk for ck, dk in zip(coss, denoms)]
+        + [sk * dk for sk, dk in zip(sins, denoms)],
+        axis=0,
+    )  # (2*degree, tile)
+    raw_groups.append(rows)
+    chains.append((coss, sins))
+  if seasonal is not None:
+    raw_groups.append(seasonal)
+  if interactions:
+    raw_groups.append(
+        jnp.concatenate(
+            [sx[a : a + 1] * sx[b : b + 1] for a, b in interactions], axis=0
+        )
+    )
+
+  h0 = jnp.concatenate(
+      [g * fs[i] for i, g in enumerate(raw_groups)], axis=0
+  )
+  return h0, (sx, fs, raw_groups, chains)
+
+
+def _encode_backward_in_kernel(fourier_degrees, interactions, dh0, residuals,
+                               fs_col):
+  """Backward of :func:`_encode_in_kernel` w.r.t. (lsa, fs_raw).
+
+  The raw inputs are constants, so the only encode gradients are the
+  per-member scale adjustments: d(feature_scales_raw) via the group inner
+  products, and d(log_scale_adjustment) via d(scaled_x) — assembled from
+  the direct group, the octave chains (d cos(2^k t)/dt = -2^k sin(2^k t)),
+  and the interaction products — times d(sx)/d(lsa) = -sx.
+
+  Returns:
+    (dlsa (D, 1), dfs_raw (G, 1)) for this tile.
+  """
+  sx, fs, raw_groups, chains = residuals
+  d = sx.shape[0]
+
+  # Per-group scale gradients: dfs_g = sigmoid(raw_g) * <dh0_g, raw_group_g>.
+  dfs_vals = []
+  off = 0
+  dh0_groups = []
+  for g in raw_groups:
+    fg = g.shape[0]
+    dg = dh0[off : off + fg]
+    dh0_groups.append(dg)
+    dfs_vals.append(jnp.sum(dg * g))
+    off += fg
+  dfs = jnp.stack(dfs_vals)[:, None] * jax.nn.sigmoid(fs_col)
+
+  # d(scaled_x) rows, accumulated per input dim (Mosaic has no scatter on
+  # the sublane axis; D is tiny, so assemble by concatenation at the end).
+  dsx_rows = [dh0_groups[0][i : i + 1] * fs[0] for i in range(d)]
+  gi = 1
+  ci = 0
+  for i, degree in enumerate(fourier_degrees):
+    if degree <= 0:
+      continue
+    dg = dh0_groups[gi] * fs[gi]  # (2*degree, tile)
+    coss, sins = chains[ci]
+    dtheta = jnp.zeros_like(sins[0])
+    for k in range(degree):
+      coef = (2.0**k) / (k + 1)
+      dtheta = dtheta + coef * (
+          dg[degree + k : degree + k + 1] * coss[k]
+          - dg[k : k + 1] * sins[k]
+      )
+    dsx_rows[i] = dsx_rows[i] + _TWO_PI * dtheta
+    gi += 1
+    ci += 1
+  if interactions:
+    dg = dh0_groups[-1] * fs[len(raw_groups) - 1]  # (P, tile)
+    for p, (a, b) in enumerate(interactions):
+      dsx_rows[a] = dsx_rows[a] + dg[p : p + 1] * sx[b : b + 1]
+      dsx_rows[b] = dsx_rows[b] + dg[p : p + 1] * sx[a : a + 1]
+
+  dsx = jnp.concatenate(dsx_rows, axis=0)  # (D, tile)
+  dlsa = jnp.sum(dsx * (-sx), axis=1, keepdims=True)  # (D, 1)
+  return dlsa, dfs
+
+
+def _train_kernel_raw(
+    depth, rsqrts, n_valid, tile, lik_scale, fourier_degrees,
+    interactions, has_seasonal, *refs
+):
+  """One (member, row-tile) cell: encode + forward + loss + backward."""
+  x_ref = refs[0]
+  refs = refs[1:]
+  if has_seasonal:
+    seasonal_ref, refs = refs[0], refs[1:]
+  num_w = depth + 1
+  w_refs = refs[:num_w]
+  b_refs = refs[num_w : 2 * num_w]
+  (lsa_ref, fs_ref, scales_ref, logit_ref, noise_ref, y_ref) = refs[
+      2 * num_w : 2 * num_w + 6
+  ]
+  out_refs = refs[2 * num_w + 6 :]
+  loss_ref = out_refs[0]
+  dlsa_ref, dfs_ref = out_refs[1], out_refs[2]
+  dw_refs = out_refs[3 : 3 + num_w]
+  db_refs = out_refs[3 + num_w : 3 + 2 * num_w]
+  dscales_ref = out_refs[3 + 2 * num_w]
+  dlogit_ref = out_refs[3 + 2 * num_w + 1]
+  dnoise_ref = out_refs[3 + 2 * num_w + 2]
+
+  t = pl.program_id(1)
+
+  raw_s = scales_ref[0, 0]
+  s = jax.nn.softplus(raw_s)
+  ds_raw = jax.nn.sigmoid(raw_s)
+  w = jax.nn.sigmoid(logit_ref[0, 0, 0])
+
+  # --- Encode (saving the octave chains for the backward).
+  h, enc_res = _encode_in_kernel(
+      fourier_degrees,
+      interactions,
+      x_ref[0],
+      seasonal_ref[0] if has_seasonal else None,
+      lsa_ref[0],
+      fs_ref[0],
+  )
+
+  # --- Forward, saving matmul inputs and pre-activations (all VMEM-local).
+  hs, zs = [], []
+  for l in range(depth):
+    lhs = h * rsqrts[l]
+    z = s[l] * (_mm_t(w_refs[l][0], lhs, ((0,), (0,)), None) + b_refs[l][0])
+    hs.append(lhs)
+    zs.append(z)
+    h = _act(z, w)
+  lhs_out = h * rsqrts[depth]
+  v_out = _mm_t(w_refs[depth][0], lhs_out, ((0,), (0,)), None) + b_refs[depth][0]
+  pred = s[depth] * v_out  # (1, tile)
+
+  # --- NORMAL negative log-likelihood over the valid rows of this tile.
+  # mask zeroes both the padded tail and its gradient contributions.
+  mask = (
+      jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) < n_valid - t * tile
+  ).astype(jnp.float32)
+  sigma = 0.01 + jnp.exp(noise_ref[0, 0, 0])
+  inv_sigma2 = 1.0 / (sigma * sigma)
+  r = (pred - y_ref[0]) * mask
+  n_tile = jnp.sum(mask)
+  loss_tile = lik_scale * (
+      0.5 * inv_sigma2 * jnp.sum(r * r)
+      + n_tile * (jnp.log(sigma) + _HALF_LOG_2PI)
+  )
+  # d loss / d sigma = -sum(r^2)/sigma^3 + n/sigma, times dsigma/dp0 = e^p0.
+  dnoise_tile = (
+      lik_scale
+      * (sigma - 0.01)
+      * (n_tile / sigma - jnp.sum(r * r) * inv_sigma2 / sigma)
+  )
+
+  # --- Backward from the loss' pred-cotangent, using saved activations.
+  g = lik_scale * inv_sigma2 * r  # (1, tile)
+  ds = [jnp.zeros((), jnp.float32)] * (depth + 1)
+  dlogit_acc = jnp.zeros((), jnp.float32)
+
+  ds[depth] = jnp.sum(g * v_out)
+  dv = g * s[depth]
+  dws = [None] * (depth + 1)
+  dbs = [None] * (depth + 1)
+  dws[depth] = _mm_t(lhs_out, dv, ((1,), (1,)), None)
+  dbs[depth] = jnp.sum(dv, axis=1, keepdims=True)
+  dh = _mm_t(w_refs[depth][0], dv, ((1,), (0,)), None) * rsqrts[depth]
+
+  for l in reversed(range(depth)):
+    dact_dz, dact_dw = _act_grad(zs[l], w)
+    dlogit_acc = dlogit_acc + jnp.sum(dh * dact_dw)
+    dz = dh * dact_dz
+    ds[l] = jnp.sum(dz * (zs[l] / s[l]))
+    dv = dz * s[l]
+    dws[l] = _mm_t(hs[l], dv, ((1,), (1,)), None)
+    dbs[l] = jnp.sum(dv, axis=1, keepdims=True)
+    dh = _mm_t(w_refs[l][0], dv, ((1,), (0,)), None) * rsqrts[l]
+
+  dlsa_tile, dfs_tile = _encode_backward_in_kernel(
+      fourier_degrees, interactions, dh, enc_res, fs_ref[0]
+  )
+
+  loss_2d = loss_tile[None, None]
+  dscales_2d = (jnp.stack(ds) * ds_raw)[None, :]
+  dlogit_2d = (dlogit_acc * w * (1.0 - w))[None, None]
+  dnoise_2d = dnoise_tile[None, None]
+
+  @pl.when(t == 0)
+  def _():
+    loss_ref[0] = loss_2d
+    dlsa_ref[0] = dlsa_tile
+    dfs_ref[0] = dfs_tile
+    for l in range(depth + 1):
+      dw_refs[l][0] = dws[l]
+      db_refs[l][0] = dbs[l]
+    dscales_ref[0] = dscales_2d
+    dlogit_ref[0] = dlogit_2d
+    dnoise_ref[0] = dnoise_2d
+
+  @pl.when(t != 0)
+  def _():
+    loss_ref[0] += loss_2d
+    dlsa_ref[0] += dlsa_tile
+    dfs_ref[0] += dfs_tile
+    for l in range(depth + 1):
+      dw_refs[l][0] += dws[l]
+      db_refs[l][0] += dbs[l]
+    dscales_ref[0] += dscales_2d
+    dlogit_ref[0] += dlogit_2d
+    dnoise_ref[0] += dnoise_2d
+
+
+def fused_normal_train(
+    depth, tile, lik_scale, input_scales, fourier_degrees, interactions,
+    x_t, seasonal_t, weights, biases, lsa, fs_raw, scales_raw, logit,
+    log_noise, y
+):
+  """Fused NORMAL training objective from RAW inputs: loss AND grads.
+
+  Computes, per ensemble member e,
+
+      loss_e = lik_scale * sum_rows -log Normal(y | pred_e, 0.01 + e^p0_e)
+
+  where pred_e is the full field MLP applied to the in-kernel encoding of
+  the raw inputs, together with gradients w.r.t. every learned input —
+  all in a single Pallas program (see the section comment above). The
+  caller adds the (parameter-only) prior term in XLA.
+
+  Args:
+    depth: number of hidden layers (static).
+    tile: row-tile size (static).
+    lik_scale: static scalar multiplier of the negative log-likelihood.
+    input_scales: static (D,) input scale divisors.
+    fourier_degrees: static (D,) octave counts per input dim.
+    interactions: static ((a, b), ...) input-dim pairs.
+    x_t: (D, N) shared raw inputs, or (E, D, N) per-member rows.
+    seasonal_t: (2F, N) shared precomputed seasonal rows (or (E, 2F, N));
+      pass an array with first feature dim 0 when there are none.
+    weights: tuple of depth+1 (E, fan_in, fan_out) arrays.
+    biases: tuple of depth+1 (E, fan_out) arrays.
+    lsa: (E, D) log scale adjustments.
+    fs_raw: (E, G) pre-softplus feature-group scales.
+    scales_raw: (E, depth+1) pre-softplus layer scales.
+    logit: (E,) activation-blend logits.
+    log_noise: (E,) pre-exp observation noise scales.
+    y: (N,) shared targets or (E, N) per-member targets.
+
+  Returns:
+    (losses, dlsa, dfs_raw, dweights, dbiases, dscales_raw, dlogit,
+    dlog_noise) with `losses` of shape (E,) and every gradient shaped like
+    its input.
+  """
+  e = weights[0].shape[0]
+  d_in = x_t.shape[-2]
+  n = x_t.shape[-1]
+  s2 = seasonal_t.shape[-2]
+  has_seasonal = s2 > 0
+  num_fourier = 2 * sum(dg for dg in fourier_degrees if dg > 0)
+  f = d_in + num_fourier + s2 + len(interactions)
+  g_dim = fs_raw.shape[-1]
+  widths = [w.shape[-1] for w in weights]
+  rsqrts = tuple(1.0 / math.sqrt(fi) for fi in [f] + list(widths[:-1]))
+
+  def shared3(a):
+    return _pad_cols(a[None] if a.ndim == 2 else a, tile)
+
+  def spec_for(a, rows):
+    per_member = a.ndim == 3
+    return pl.BlockSpec(
+        (1, rows, tile),
+        (lambda e_, t_: (e_, 0, t_)) if per_member else
+        (lambda e_, t_: (0, 0, t_)),
+        memory_space=pltpu.VMEM,
+    )
+
+  x3 = shared3(x_t)
+  x_spec = spec_for(x_t, d_in)
+  inputs = [x3]
+  in_specs = [x_spec]
+  if has_seasonal:
+    inputs.append(shared3(seasonal_t))
+    in_specs.append(spec_for(seasonal_t, s2))
+  npad = x3.shape[-1]
+  grid = (e, npad // tile)
+
+  y_per_member = y.ndim == 2
+  y3 = _pad_cols(y[:, None, :] if y_per_member else y[None, None, :], tile)
+  y_spec = pl.BlockSpec(
+      (1, 1, tile),
+      (lambda e_, t_: (e_, 0, t_)) if y_per_member else
+      (lambda e_, t_: (0, 0, t_)),
+      memory_space=pltpu.VMEM,
+  )
+
+  fan_ins = [f] + list(widths[:-1])
+  w_specs = [
+      pl.BlockSpec(
+          (1, fan_ins[l], widths[l]),
+          lambda e_, t_, l=l: (e_, 0, 0),
+          memory_space=pltpu.VMEM,
+      )
+      for l in range(depth + 1)
+  ]
+  b_specs = [
+      pl.BlockSpec(
+          (1, widths[l], 1),
+          lambda e_, t_, l=l: (e_, 0, 0),
+          memory_space=pltpu.VMEM,
+      )
+      for l in range(depth + 1)
+  ]
+  def col_spec(rows):
+    return pl.BlockSpec(
+        (1, rows, 1), lambda e_, t_: (e_, 0, 0), memory_space=pltpu.VMEM
+    )
+
+  scales_spec = pl.BlockSpec(
+      (1, 1, depth + 1), lambda e_, t_: (e_, 0, 0), memory_space=pltpu.VMEM
+  )
+  scalar_spec = col_spec(1)
+
+  out_shapes = (
+      [
+          jax.ShapeDtypeStruct((e, 1, 1), jnp.float32),  # loss
+          jax.ShapeDtypeStruct((e, d_in, 1), jnp.float32),  # dlsa
+          jax.ShapeDtypeStruct((e, g_dim, 1), jnp.float32),  # dfs
+      ]
+      + [
+          jax.ShapeDtypeStruct((e, fan_ins[l], widths[l]), jnp.float32)
+          for l in range(depth + 1)
+      ]
+      + [
+          jax.ShapeDtypeStruct((e, widths[l], 1), jnp.float32)
+          for l in range(depth + 1)
+      ]
+      + [
+          jax.ShapeDtypeStruct((e, 1, depth + 1), jnp.float32),
+          jax.ShapeDtypeStruct((e, 1, 1), jnp.float32),
+          jax.ShapeDtypeStruct((e, 1, 1), jnp.float32),
+      ]
+  )
+  out_specs = (
+      [scalar_spec, col_spec(d_in), col_spec(g_dim)]
+      + w_specs
+      + list(b_specs)
+      + [scales_spec, scalar_spec, scalar_spec]
+  )
+  # Fold the static input scales into the learned log-scale adjustment so
+  # the kernel captures no array constants (d/d(lsa) is unchanged).
+  lsa_eff = lsa + jnp.log(jnp.asarray(input_scales, jnp.float32))[None, :]
+
+  outs = pl.pallas_call(
+      _named_kernel(
+          functools.partial(
+              _train_kernel_raw, depth, rsqrts, n, tile, float(lik_scale),
+              tuple(fourier_degrees),
+              tuple(interactions), has_seasonal,
+          ),
+          'fused_train_normal_raw'
+          f'_{"xm" if x_t.ndim == 3 else "xs"}'
+          f'{"ym" if y_per_member else "ys"}',
+      ),
+      grid=grid,
+      in_specs=in_specs + [
+          *w_specs, *b_specs, col_spec(d_in), col_spec(g_dim), scales_spec,
+          scalar_spec, scalar_spec, y_spec,
+      ],
+      out_specs=out_specs,
+      out_shape=out_shapes,
+      compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+      interpret=_interpret(),
+  )(
+      *inputs,
+      *weights,
+      *[b[:, :, None] for b in biases],
+      lsa_eff[:, :, None],
+      fs_raw[:, :, None],
+      scales_raw[:, None, :],
+      logit[:, None, None],
+      log_noise[:, None, None],
+      y3,
+  )
+
+  losses = outs[0][:, 0, 0]
+  dlsa = outs[1][:, :, 0]
+  dfs = outs[2][:, :, 0]
+  rest = outs[3:]
+  num_w = depth + 1
+  dweights = tuple(rest[:num_w])
+  dbiases = tuple(o[:, :, 0] for o in rest[num_w : 2 * num_w])
+  dscales = rest[2 * num_w][:, 0, :]
+  dlogit = rest[2 * num_w + 1][:, 0, 0]
+  dlog_noise = rest[2 * num_w + 2][:, 0, 0]
+  return losses, dlsa, dfs, dweights, dbiases, dscales, dlogit, dlog_noise

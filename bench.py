@@ -15,6 +15,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import sys
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -95,12 +97,16 @@ def main():
 
   # Warmup/compile at the same static shape (epoch count is static: compile
   # once for the timed length). Fall back to the XLA backend if the Pallas
-  # path cannot compile here.
+  # path cannot compile here — LOUDLY, so a kernel compile regression can
+  # never masquerade as a mere slowdown.
   try:
     run(timed_epochs, seed=0)
   except Exception:  # pylint: disable=broad-except
     if backend == 'xla':
       raise
+    print('WARNING: pallas backend failed to compile; falling back to xla:',
+          file=sys.stderr)
+    traceback.print_exc(limit=3, file=sys.stderr)
     backend = 'xla'
     run(timed_epochs, seed=0)
   with profiling.StepTimer(
@@ -110,16 +116,56 @@ def main():
 
   assert np.all(np.isfinite(losses)), 'non-finite bench loss'
   value = timer.report.member_steps_per_sec_per_chip
-  print(
-      json.dumps({
-          'metric': 'map_member_steps_per_sec_per_chip',
-          'value': round(value, 2),
-          'unit': 'member-steps/s/chip',
-          'vs_baseline': round(
-              value / BASELINE_MEMBER_STEPS_PER_SEC_PER_CHIP, 2
-          ),
-      })
-  )
+
+  # Secondary metric: VI throughput on the same workload (ELBO steps with
+  # 5 MC draws per step; one member-step = one surrogate Adam update of one
+  # member). Reported inside the same JSON line; failures are non-fatal.
+  vi_value = None
+  try:
+    from bayesnf_tpu.inference import vi as vi_lib
+
+    vi_steps = 5 if small else 20
+    def run_vi(num_steps, seed):
+      _, vi_losses, _ = vi_lib.fit_vi(
+          aug,
+          y,
+          jax.random.PRNGKey(seed),
+          'NORMAL',
+          config,
+          ensemble_size=ensemble,
+          learning_rate=0.005,
+          num_epochs=num_steps,
+          sample_size_divergence=5,
+          sample_size_posterior=2,
+          batch_size=None,
+          mesh=mesh,
+          backend=backend,
+      )
+      return np.asarray(vi_losses)
+
+    run_vi(vi_steps, seed=0)
+    with profiling.StepTimer(
+        member_steps=vi_steps * ensemble, num_chips=n_chips
+    ) as vi_timer:
+      vi_losses = run_vi(vi_steps, seed=1)
+    assert np.all(np.isfinite(vi_losses)), 'non-finite VI bench loss'
+    vi_value = vi_timer.report.member_steps_per_sec_per_chip
+  except Exception:  # pylint: disable=broad-except
+    print('WARNING: VI bench failed:', file=sys.stderr)
+    traceback.print_exc(limit=3, file=sys.stderr)
+
+  record = {
+      'metric': 'map_member_steps_per_sec_per_chip',
+      'value': round(value, 2),
+      'unit': 'member-steps/s/chip',
+      'vs_baseline': round(
+          value / BASELINE_MEMBER_STEPS_PER_SEC_PER_CHIP, 2
+      ),
+      'backend': backend,
+  }
+  if vi_value is not None:
+    record['vi_member_steps_per_sec_per_chip'] = round(vi_value, 2)
+  print(json.dumps(record))
 
 
 if __name__ == '__main__':

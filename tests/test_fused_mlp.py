@@ -180,3 +180,139 @@ class TestTransposedKernels:
     for a, b in zip(g_t, g_r):
       np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
                                  atol=5e-4)
+
+
+class TestFusedNormalTrain:
+  """fused_normal_train (raw-input single-pass loss+grad) vs autodiff oracle."""
+
+  def _setup(self, n=70, per_member_x=False, interactions=((0, 1), (1, 2)),
+             seasonal=True, seed=3):
+    from bayesnf_tpu.models import field as field_lib
+    from bayesnf_tpu.models import likelihoods
+
+    config = field_lib.FieldConfig.create(
+        width=16,
+        depth=2,
+        input_scales=[50.0, 1.0, 1.0],
+        fourier_degrees=[3, 2, 0],
+        interactions=interactions,
+        seasonality_periods=[7.0] if seasonal else [],
+        num_seasonal_harmonics=[2] if seasonal else [],
+    )
+    e = 3
+    rng = np.random.default_rng(seed)
+    keys = jax.random.split(jax.random.PRNGKey(seed), e)
+    params = tuple(jax.vmap(
+        lambda k: field_lib.init_params(config, k))(keys))
+    # Perturb the zero-initialized scalars so gradients are generic.
+    params = tuple(
+        p + 0.1 * jnp.asarray(rng.normal(size=p.shape).astype(np.float32))
+        for p in params
+    )
+    if per_member_x:
+      x = rng.normal(size=(e, n, config.num_inputs)).astype(np.float32) * 5
+      x_t = jnp.asarray(np.swapaxes(x, 1, 2))
+      seas = jnp.stack([
+          field_lib.seasonal_features_for(config, jnp.asarray(x[i])).T
+          for i in range(e)
+      ])
+      y = jnp.asarray(rng.normal(size=(e, n)).astype(np.float32))
+    else:
+      x = rng.normal(size=(n, config.num_inputs)).astype(np.float32) * 5
+      x_t = jnp.asarray(x.T)
+      seas = field_lib.seasonal_features_for(config, jnp.asarray(x)).T
+      y = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    return config, params, x_t, seas, y, likelihoods
+
+  def _oracle(self, config, params, x_t, seas, y, likelihoods, lik_scale):
+    from bayesnf_tpu.models import field as field_lib
+
+    def member_loss(p, xt, st, yy):
+      pred = field_lib.apply_field_t(config, p, xt, st)
+      return -lik_scale * likelihoods.log_likelihood(
+          likelihoods.LikelihoodDist.NORMAL, p, pred, yy
+      )
+
+    if x_t.ndim == 2:
+      total = lambda ps: jax.vmap(
+          member_loss, in_axes=(0, None, None, None)
+      )(ps, x_t, seas, y).sum()
+      losses_fn = lambda ps: jax.vmap(
+          member_loss, in_axes=(0, None, None, None)
+      )(ps, x_t, seas, y)
+    else:
+      total = lambda ps: jax.vmap(member_loss)(ps, x_t, seas, y).sum()
+      losses_fn = lambda ps: jax.vmap(member_loss)(ps, x_t, seas, y)
+    return losses_fn(params), jax.grad(total)(params)
+
+  @pytest.mark.parametrize('per_member_x', [False, True])
+  def test_matches_autodiff(self, per_member_x):
+    from bayesnf_tpu.models import field as field_lib
+
+    config, params, x_t, seas, y, likelihoods = self._setup(
+        per_member_x=per_member_x)
+    lik_scale = 1.75
+    num_w = config.depth + 1
+    weights = tuple(
+        params[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w))
+    biases = tuple(
+        params[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w))
+    losses, dlsa, dfs, dws, dbs, dscales, dlogit, dnoise = (
+        fused_mlp.fused_normal_train(
+            config.depth, 32, lik_scale, config.input_scales,
+            config.fourier_degrees, config.interactions, x_t, seas,
+            weights, biases,
+            params[field_lib.IDX_LOG_SCALE_ADJ],
+            params[field_lib.IDX_FEATURE_SCALES],
+            params[field_lib.IDX_LAYER_SCALES],
+            params[field_lib.IDX_ACTIVATION_LOGIT],
+            params[field_lib.IDX_LOG_NOISE_SCALE],
+            y,
+        )
+    )
+    want_losses, want_grads = self._oracle(
+        config, params, x_t, seas, y, likelihoods, lik_scale)
+
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(want_losses), rtol=2e-4)
+    pairs = {
+        'dlsa': (dlsa, want_grads[field_lib.IDX_LOG_SCALE_ADJ]),
+        'dfs': (dfs, want_grads[field_lib.IDX_FEATURE_SCALES]),
+        'dscales': (dscales, want_grads[field_lib.IDX_LAYER_SCALES]),
+        'dlogit': (dlogit, want_grads[field_lib.IDX_ACTIVATION_LOGIT]),
+        'dnoise': (dnoise, want_grads[field_lib.IDX_LOG_NOISE_SCALE]),
+    }
+    for l in range(num_w):
+      pairs[f'dw{l}'] = (dws[l], want_grads[field_lib.IDX_FIRST_DENSE + 2 * l])
+      pairs[f'db{l}'] = (
+          dbs[l], want_grads[field_lib.IDX_FIRST_DENSE + 2 * l + 1])
+    for name, (got, want) in pairs.items():
+      np.testing.assert_allclose(
+          np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5,
+          err_msg=name)
+
+  def test_no_seasonal_no_interactions(self):
+    from bayesnf_tpu.models import field as field_lib
+
+    config, params, x_t, seas, y, likelihoods = self._setup(
+        interactions=(), seasonal=False)
+    assert seas.shape[0] == 0
+    num_w = config.depth + 1
+    weights = tuple(
+        params[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w))
+    biases = tuple(
+        params[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w))
+    losses, *_ = fused_mlp.fused_normal_train(
+        config.depth, 32, 1.0, config.input_scales, config.fourier_degrees,
+        config.interactions, x_t, seas, weights, biases,
+        params[field_lib.IDX_LOG_SCALE_ADJ],
+        params[field_lib.IDX_FEATURE_SCALES],
+        params[field_lib.IDX_LAYER_SCALES],
+        params[field_lib.IDX_ACTIVATION_LOGIT],
+        params[field_lib.IDX_LOG_NOISE_SCALE],
+        y,
+    )
+    want_losses, _ = self._oracle(
+        config, params, x_t, seas, y, likelihoods, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(want_losses), rtol=2e-4)
