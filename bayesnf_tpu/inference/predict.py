@@ -8,6 +8,10 @@ Semantics parity with the reference predictor
   `lax.map` inside one jit: N is padded to a chunk multiple, the forward
   runs per chunk vmapped over all ensemble members, and the padding is
   dropped at the end — no host round-trips.
+- The forward runs in the features-major layout (`field.apply_field_t`):
+  rows live on the TPU lane axis, so the (K, chunk, few-features)
+  temporaries that would otherwise pad catastrophically under (8, 128)
+  tiling never exist (same redesign as the trainers).
 - Ensemble dims are flattened to one leading member axis for compute and
   restored to the public `(num_devices, [samples,] ensemble)` shape contract
   on the way out.
@@ -29,7 +33,7 @@ from bayesnf_tpu.models import likelihoods
     jax.jit, static_argnames=('config', 'distribution', 'chunk_size')
 )
 def _forecast_params_chunked(
-    config, distribution, params_flat, aug, chunk_size=1024
+    config, distribution, params_flat, aug, chunk_size=4096
 ):
   """Per-member forecast distribution parameters over all rows.
 
@@ -38,7 +42,9 @@ def _forecast_params_chunked(
     distribution: observation model.
     params_flat: flat param tuple, leading member axis K.
     aug: (N, D + 2F) inputs with seasonal features appended.
-    chunk_size: rows per device-side chunk.
+    chunk_size: rows per device-side chunk (4096 measured fastest on
+      v5e at the flagship width-512 / 64-member scale; the reference's
+      1024 is a host-loop chunk, inference.py:134).
 
   Returns:
     Tuple of arrays; per-observation entries have shape (K, N), scalar
@@ -48,11 +54,15 @@ def _forecast_params_chunked(
   n = aug.shape[0]
   num_chunks = -(-n // chunk_size)
   padded = num_chunks * chunk_size
-  aug_padded = jnp.pad(aug, ((0, padded - n), (0, 0)))
-  chunks = aug_padded.reshape(num_chunks, chunk_size, -1)
+  # Features-major: (D + 2F, padded) with rows on the lane axis, chunked
+  # along the row axis for lax.map.
+  aug_t = jnp.pad(aug, ((0, padded - n), (0, 0))).T
+  chunks = jnp.moveaxis(
+      aug_t.reshape(-1, num_chunks, chunk_size), 1, 0
+  )  # (num_chunks, D + 2F, chunk)
 
-  def member_forecast(params, chunk):
-    pred = field_lib.apply_field(config, params, chunk[:, :d], chunk[:, d:])
+  def member_forecast(params, chunk_t):
+    pred = field_lib.apply_field_t(config, params, chunk_t[:d], chunk_t[d:])
     return likelihoods.forecast_params(distribution, params, pred)
 
   ens_forecast = jax.vmap(member_forecast, in_axes=(0, None))
@@ -79,7 +89,7 @@ def predict_bnf(
     quantiles,
     ensemble_dims: int = 2,
     approximate_quantiles: bool = False,
-    chunk_size: int = 1024,
+    chunk_size: int = 4096,
 ):
   """Predict means and mixture quantiles at new points.
 
