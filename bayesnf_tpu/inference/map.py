@@ -288,6 +288,7 @@ def _make_pallas_train_fn(
             params_b[field_lib.IDX_ACTIVATION_LOGIT],
             params_b[field_lib.IDX_LOG_NOISE_SCALE],
             y_b,
+            precision=precision,
         )
     )
     grads = [jnp.zeros_like(p) for p in params_b]

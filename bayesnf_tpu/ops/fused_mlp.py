@@ -892,7 +892,7 @@ def _encode_backward_in_kernel(fourier_degrees, interactions, dh0, residuals,
 
 def _train_kernel_raw(
     depth, rsqrts, n_valid, tile, lik_scale, fourier_degrees,
-    interactions, has_seasonal, *refs
+    interactions, has_seasonal, compute_dtype, *refs
 ):
   """One (member, row-tile) cell: encode + forward + loss + backward."""
   x_ref = refs[0]
@@ -935,12 +935,17 @@ def _train_kernel_raw(
   hs, zs = [], []
   for l in range(depth):
     lhs = h * rsqrts[l]
-    z = s[l] * (_mm_t(w_refs[l][0], lhs, ((0,), (0,)), None) + b_refs[l][0])
+    z = s[l] * (
+        _mm_t(w_refs[l][0], lhs, ((0,), (0,)), compute_dtype) + b_refs[l][0]
+    )
     hs.append(lhs)
     zs.append(z)
     h = _act(z, w)
   lhs_out = h * rsqrts[depth]
-  v_out = _mm_t(w_refs[depth][0], lhs_out, ((0,), (0,)), None) + b_refs[depth][0]
+  v_out = (
+      _mm_t(w_refs[depth][0], lhs_out, ((0,), (0,)), compute_dtype)
+      + b_refs[depth][0]
+  )
   pred = s[depth] * v_out  # (1, tile)
 
   # --- NORMAL negative log-likelihood over the valid rows of this tile.
@@ -972,9 +977,9 @@ def _train_kernel_raw(
   dv = g * s[depth]
   dws = [None] * (depth + 1)
   dbs = [None] * (depth + 1)
-  dws[depth] = _mm_t(lhs_out, dv, ((1,), (1,)), None)
+  dws[depth] = _mm_t(lhs_out, dv, ((1,), (1,)), compute_dtype)
   dbs[depth] = jnp.sum(dv, axis=1, keepdims=True)
-  dh = _mm_t(w_refs[depth][0], dv, ((1,), (0,)), None) * rsqrts[depth]
+  dh = _mm_t(w_refs[depth][0], dv, ((1,), (0,)), compute_dtype) * rsqrts[depth]
 
   for l in reversed(range(depth)):
     dact_dz, dact_dw = _act_grad(zs[l], w)
@@ -982,9 +987,9 @@ def _train_kernel_raw(
     dz = dh * dact_dz
     ds[l] = jnp.sum(dz * (zs[l] / s[l]))
     dv = dz * s[l]
-    dws[l] = _mm_t(hs[l], dv, ((1,), (1,)), None)
+    dws[l] = _mm_t(hs[l], dv, ((1,), (1,)), compute_dtype)
     dbs[l] = jnp.sum(dv, axis=1, keepdims=True)
-    dh = _mm_t(w_refs[l][0], dv, ((1,), (0,)), None) * rsqrts[l]
+    dh = _mm_t(w_refs[l][0], dv, ((1,), (0,)), compute_dtype) * rsqrts[l]
 
   dlsa_tile, dfs_tile = _encode_backward_in_kernel(
       fourier_degrees, interactions, dh, enc_res, fs_ref[0]
@@ -1023,7 +1028,7 @@ def _train_kernel_raw(
 def fused_normal_train(
     depth, tile, lik_scale, input_scales, fourier_degrees, interactions,
     x_t, seasonal_t, weights, biases, lsa, fs_raw, scales_raw, logit,
-    log_noise, y
+    log_noise, y, precision='f32'
 ):
   """Fused NORMAL training objective from RAW inputs: loss AND grads.
 
@@ -1054,6 +1059,8 @@ def fused_normal_train(
     logit: (E,) activation-blend logits.
     log_noise: (E,) pre-exp observation noise scales.
     y: (N,) shared targets or (E, N) per-member targets.
+    precision: 'f32' or 'bf16' (bf16 MXU operands, f32 accumulation; the
+      encode, likelihood, and all size-1-minor dots stay f32).
 
   Returns:
     (losses, dlsa, dfs_raw, dweights, dbiases, dscales_raw, dlogit,
@@ -1164,11 +1171,11 @@ def fused_normal_train(
           functools.partial(
               _train_kernel_raw, depth, rsqrts, n, tile, float(lik_scale),
               tuple(fourier_degrees),
-              tuple(interactions), has_seasonal,
+              tuple(interactions), has_seasonal, _compute_dtype(precision),
           ),
           'fused_train_normal_raw'
           f'_{"xm" if x_t.ndim == 3 else "xs"}'
-          f'{"ym" if y_per_member else "ys"}',
+          f'{"ym" if y_per_member else "ys"}_{precision}',
       ),
       grid=grid,
       in_specs=in_specs + [

@@ -34,7 +34,12 @@ def main():
   from bayesnf_tpu.parallel import mesh as mesh_lib
 
   small = bool(int(os.environ.get('BENCH_SMALL', '0')))
-  precision = os.environ.get('BENCH_PRECISION', 'f32')
+  # bf16 MXU operands by default on TPU (measured fastest; gradients are
+  # oracle-tested at bf16 tolerance in tests/test_fused_mlp.py). f32 keeps
+  # the interpreter path exact off-TPU.
+  precision = os.environ.get('BENCH_PRECISION') or (
+      'bf16' if jax.default_backend() == 'tpu' else 'f32'
+  )
   # Default to the fused-Pallas backend on TPU (fastest measured); fall back
   # to the XLA backend if the kernel path fails to compile. Off-TPU the
   # Pallas interpreter would be orders of magnitude slower than XLA.
@@ -162,6 +167,7 @@ def main():
           value / BASELINE_MEMBER_STEPS_PER_SEC_PER_CHIP, 2
       ),
       'backend': backend,
+      'precision': precision,
   }
   if vi_value is not None:
     record['vi_member_steps_per_sec_per_chip'] = round(vi_value, 2)

@@ -291,6 +291,60 @@ class TestFusedNormalTrain:
           np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5,
           err_msg=name)
 
+  def test_bf16_close_to_f32_oracle(self):
+    """bf16 MXU operands: losses and grads track the f32 oracle.
+
+    Tolerances are bf16-mantissa-scale (8 bits): relative agreement ~1%,
+    with an absolute floor sized to each tensor's own magnitude so that
+    near-zero entries don't demand impossible relative precision.
+    """
+    from bayesnf_tpu.models import field as field_lib
+
+    config, params, x_t, seas, y, likelihoods = self._setup()
+    lik_scale = 1.75
+    num_w = config.depth + 1
+    weights = tuple(
+        params[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w))
+    biases = tuple(
+        params[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w))
+    losses, dlsa, dfs, dws, dbs, dscales, dlogit, dnoise = (
+        fused_mlp.fused_normal_train(
+            config.depth, 32, lik_scale, config.input_scales,
+            config.fourier_degrees, config.interactions, x_t, seas,
+            weights, biases,
+            params[field_lib.IDX_LOG_SCALE_ADJ],
+            params[field_lib.IDX_FEATURE_SCALES],
+            params[field_lib.IDX_LAYER_SCALES],
+            params[field_lib.IDX_ACTIVATION_LOGIT],
+            params[field_lib.IDX_LOG_NOISE_SCALE],
+            y,
+            precision='bf16',
+        )
+    )
+    want_losses, want_grads = self._oracle(
+        config, params, x_t, seas, y, likelihoods, lik_scale)
+
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(want_losses), rtol=2e-2)
+    flat = [
+        (dlsa, want_grads[field_lib.IDX_LOG_SCALE_ADJ], 'dlsa'),
+        (dfs, want_grads[field_lib.IDX_FEATURE_SCALES], 'dfs'),
+        (dscales, want_grads[field_lib.IDX_LAYER_SCALES], 'dscales'),
+        (dlogit, want_grads[field_lib.IDX_ACTIVATION_LOGIT], 'dlogit'),
+        (dnoise, want_grads[field_lib.IDX_LOG_NOISE_SCALE], 'dnoise'),
+    ] + [
+        (dws[l], want_grads[field_lib.IDX_FIRST_DENSE + 2 * l], f'dw{l}')
+        for l in range(num_w)
+    ] + [
+        (dbs[l], want_grads[field_lib.IDX_FIRST_DENSE + 2 * l + 1], f'db{l}')
+        for l in range(num_w)
+    ]
+    for got, want, name in flat:
+      want = np.asarray(want)
+      scale = max(float(np.abs(want).max()), 1e-3)
+      np.testing.assert_allclose(
+          np.asarray(got), want, rtol=2e-2, atol=2e-2 * scale, err_msg=name)
+
   def test_no_seasonal_no_interactions(self):
     from bayesnf_tpu.models import field as field_lib
 
