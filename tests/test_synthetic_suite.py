@@ -1,0 +1,157 @@
+"""Multi-series synthetic ground-truth suite: objectives x likelihoods.
+
+Complements the chickenpox-8 golden comparisons (which are confounded by
+that series' 100-row, single-county degeneracy) with data whose generative
+process is known: a smooth seasonal-plus-spatial field over several
+locations, sampled under each observation model. Every (objective,
+likelihood) pair must recover the field — held-out RMSE well under the
+target's standard deviation — and produce calibrated 95% intervals.
+
+The held-out rows are randomly interleaved in time and space (not a
+future block), so tight bands are achievable at small budgets; this is a
+correctness suite, not a forecasting benchmark. Point predictions are
+scored against the KNOWN conditional mean (the generative field), which
+removes the observation-noise floor from the bound; intervals are scored
+against the noisy draws they are meant to cover.
+"""
+
+import numpy as np
+import pandas as pd
+import jax
+import pytest
+
+from bayesnf_tpu import (
+    BayesianNeuralFieldMAP,
+    BayesianNeuralFieldMLE,
+    BayesianNeuralFieldVI,
+)
+
+_ESTIMATORS = {
+    'map': BayesianNeuralFieldMAP,
+    'mle': BayesianNeuralFieldMLE,
+    'vi': BayesianNeuralFieldVI,
+}
+
+_LOCATIONS = {
+    'A': (46.5, 19.4),
+    'B': (47.2, 18.1),
+    'C': (46.1, 20.3),
+    'D': (47.6, 19.9),
+    'E': (46.9, 17.7),
+    'F': (46.3, 21.2),
+}
+
+
+def _make_series(observation_model, seed=0, n_weeks=156):
+  """Long-format frame from a known seasonal + spatial field."""
+  rng = np.random.default_rng(seed)
+  dates = pd.date_range('2015-01-05', periods=n_weeks, freq='W-MON')
+  rows = []
+  for loc, (lat, lon) in _LOCATIONS.items():
+    t = np.arange(n_weeks)
+    field = (
+        2.0 * np.sin(2 * np.pi * t / 52.0)
+        + 1.0 * np.cos(2 * np.pi * t / 13.0)
+        + 0.8 * (lat - 46.6)
+        + 0.5 * (lon - 19.3) * np.sin(2 * np.pi * t / 52.0)
+    )
+    if observation_model == 'NORMAL':
+      true_mean = field
+      # Noise comparable to the field spread: held-out intervals are then
+      # aleatoric-dominated, so the learned noise scale (not the ensemble
+      # spread) determines coverage and 95% is achievable at small budgets.
+      y = field + 1.0 * rng.normal(size=n_weeks)
+    else:
+      # Count target: Poisson around a positive transform of the field
+      # (a mean the NB/ZINB parametrization can represent).
+      mean = np.exp(0.6 * field + 2.0)
+      y = rng.poisson(mean).astype(np.float64)
+      true_mean = mean
+      if observation_model == 'ZINB':
+        zero = rng.uniform(size=n_weeks) < 0.1
+        y[zero] = 0.0
+        true_mean = 0.9 * mean
+    for i, d in enumerate(dates):
+      rows.append(dict(
+          location=loc, datetime=d, latitude=lat, longitude=lon, y=y[i],
+          true_mean=true_mean[i],
+      ))
+  df = pd.DataFrame(rows)
+  df.index = np.arange(len(df))
+  holdout = rng.uniform(size=len(df)) < 0.2
+  return df[~holdout].copy(), df[holdout].copy()
+
+
+def _fit_predict(objective, observation_model, df_train, df_test):
+  cls = _ESTIMATORS[objective]
+  model = cls(
+      width=64,
+      depth=2,
+      seasonality_periods=[13.0, 52.0],
+      num_seasonal_harmonics=[2, 4],
+      feature_cols=['datetime', 'latitude', 'longitude'],
+      target_col='y',
+      observation_model=observation_model,
+      timetype='index',
+      freq='W',
+      standardize=['latitude', 'longitude'],
+  )
+  fit_kwargs = dict(seed=jax.random.PRNGKey(1), ensemble_size=8)
+  if objective == 'vi':
+    fit_kwargs.update(num_epochs=500, learning_rate=0.01, batch_size=None,
+                      sample_size_posterior=10)
+  else:
+    # lr 0.005 (the reference's own MAP/MLE rate): 0.01 sends prior-free
+    # MLE members to inf on the count likelihoods. Budgets sized per
+    # likelihood: the NORMAL full-batch objective recovers the field in a
+    # few hundred epochs and then starts memorizing the observation noise
+    # (same failure mode as the reference at these tiny row counts), while
+    # the count likelihoods need more steps to converge.
+    epochs = 300 if observation_model == 'NORMAL' else 800
+    fit_kwargs.update(num_epochs=epochs, learning_rate=0.005)
+  model.fit(df_train, **fit_kwargs)
+  means, quants = model.predict(df_test, quantiles=(0.5, 0.025, 0.975))
+  yhat = np.asarray(means)
+  yhat = yhat.reshape(-1, yhat.shape[-1]).mean(axis=0)
+  return yhat, [np.asarray(q) for q in quants]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('objective', ['map', 'mle', 'vi'])
+@pytest.mark.parametrize('observation_model', ['NORMAL', 'NB', 'ZINB'])
+def test_recovers_known_field(objective, observation_model):
+  df_train, df_test = _make_series(observation_model)
+  y = df_test['y'].values
+  mu = df_test['true_mean'].values
+  yhat, (q50, lo, hi) = _fit_predict(
+      objective, observation_model, df_train, df_test
+  )
+
+  # Point predictions recover the KNOWN conditional mean: the held-out
+  # error vs the generative field must be well under the field's own
+  # spread (no observation-noise floor in this comparison). Scored on the
+  # predictive median, which — unlike the ensemble mean — is robust to
+  # individual prior-free count-MLE members whose NB mean explodes (the
+  # reference exhibits the same; see PARITY.md).
+  rmse = float(np.sqrt(np.mean((q50 - mu) ** 2)))
+  std = float(mu.std())
+  assert rmse < 0.5 * std, (objective, observation_model, rmse, std)
+  # The median itself tracks the true field pointwise.
+  assert np.corrcoef(q50, mu)[0, 1] > 0.95, (objective, observation_model)
+
+  # Intervals cover the noisy draws. 95% nominal; the band absorbs
+  # finite-sample wobble (~190 held-out rows) and small-budget underfit.
+  coverage = float(np.mean((y >= lo) & (y <= hi)))
+  assert 0.78 <= coverage <= 1.0, (objective, observation_model, coverage)
+
+  if observation_model == 'NORMAL' or objective != 'mle':
+    # Ensemble-mean point predictions agree with the median (prior-free
+    # count MLE is excluded: a single exploded member wrecks the mean).
+    assert np.all(np.isfinite(yhat)), (objective, observation_model)
+    assert np.corrcoef(q50, yhat)[0, 1] > 0.95
+
+  if observation_model in ('NB', 'ZINB'):
+    # Count quantiles are integral and non-negative (ceil + zero clamp).
+    for q in (q50, lo, hi):
+      np.testing.assert_array_equal(q, np.round(q))
+      assert np.all(q >= 0)
