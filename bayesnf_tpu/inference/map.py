@@ -211,56 +211,15 @@ def _make_pallas_train_fn(
   if tile is None:
     tile = fused_mlp.pick_tile(config.width, batch_size)
 
-  def ensemble_losses(params_b, aug_bt, y_b):
-    """(E,) per-member losses; aug_bt (F,B) shared or (E,F,B) per member."""
-    # Groups stay unconcatenated: the kernel assembles h0 in VMEM.
-    encode = lambda p, a: tuple(
-        field_lib.encode_t_groups(config, p, a[:d], a[d:])
-    )
-    if aug_bt.ndim == 2:
-      h0_t = jax.vmap(encode, in_axes=(0, None))(params_b, aug_bt)
-    else:
-      h0_t = jax.vmap(encode)(params_b, aug_bt)
-    weights = tuple(
-        params_b[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w)
-    )
-    biases = tuple(
-        params_b[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w)
-    )
-    pred = fused_mlp.fused_field_mlp_t(
-        config.depth,
-        tile,
-        precision,
-        h0_t,
-        weights,
-        biases,
-        params_b[field_lib.IDX_LAYER_SCALES],
-        params_b[field_lib.IDX_ACTIVATION_LOGIT],
-    )
-    y_axes = None if y_b.ndim == 1 else 0
-    loglik = jax.vmap(
-        lambda p, pr, y: likelihoods.log_likelihood(distribution, p, pr, y),
-        in_axes=(0, 0, y_axes),
-    )(params_b, pred, y_b)
-    loss = -loglik * (data_size / batch_size)
-    if prior_weight != 0.0:
-      prior = jax.vmap(lambda p: priors.prior_log_prob(config, p))(params_b)
-      loss = loss - prior_weight * prior
-    return loss
-
-  def total_loss(params_b, aug_b, y_b):
-    losses = ensemble_losses(params_b, aug_b, y_b)
-    return losses.sum(), losses
-
   def fused_losses_and_grads(params_b, aug_b, y_b):
-    """Losses and grads via the single-pass fused train kernel (NORMAL).
+    """Losses and grads via the single-pass fused train kernel.
 
-    One Pallas program per step: in-kernel encode (octave Fourier via the
-    double-angle recurrence, hand-derived backward) + forward + likelihood
-    + backward with activations resident in VMEM — no second forward, no
-    recompute, no XLA encode/likelihood segments, and no per-member
-    (E, F, N) h0/dh0 HBM round-trips. Only the (parameter-only) prior term
-    stays in XLA.
+    One Pallas program per step, any observation model: in-kernel encode
+    (octave Fourier via the double-angle recurrence, hand-derived backward)
+    + forward + likelihood + backward with activations resident in VMEM —
+    no second forward, no recompute, no XLA encode/likelihood segments, and
+    no per-member (E, F, N) h0/dh0 HBM round-trips. Only the
+    (parameter-only) prior term stays in XLA.
     """
     weights = tuple(
         params_b[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w)
@@ -270,8 +229,17 @@ def _make_pallas_train_fn(
     )
     x_b = aug_b[..., :d, :]
     seasonal_b = aug_b[..., d:, :]
-    losses, dlsa, dfs, dws, dbs, dscales, dlogit, dnoise = (
-        fused_mlp.fused_normal_train(
+    obs_raw = jnp.stack(
+        [
+            params_b[field_lib.IDX_LOG_NOISE_SCALE],
+            params_b[field_lib.IDX_NB_SHAPE_RAW],
+            params_b[field_lib.IDX_ZINB_LOGIT],
+        ],
+        axis=-1,
+    )
+    losses, dlsa, dfs, dws, dbs, dscales, dlogit, dobs = (
+        fused_mlp.fused_train(
+            distribution.value,
             config.depth,
             tile,
             data_size / batch_size,
@@ -286,7 +254,7 @@ def _make_pallas_train_fn(
             params_b[field_lib.IDX_FEATURE_SCALES],
             params_b[field_lib.IDX_LAYER_SCALES],
             params_b[field_lib.IDX_ACTIVATION_LOGIT],
-            params_b[field_lib.IDX_LOG_NOISE_SCALE],
+            obs_raw,
             y_b,
             precision=precision,
         )
@@ -294,7 +262,9 @@ def _make_pallas_train_fn(
     grads = [jnp.zeros_like(p) for p in params_b]
     grads[field_lib.IDX_LOG_SCALE_ADJ] = dlsa
     grads[field_lib.IDX_FEATURE_SCALES] = dfs
-    grads[field_lib.IDX_LOG_NOISE_SCALE] = dnoise
+    grads[field_lib.IDX_LOG_NOISE_SCALE] = dobs[:, 0]
+    grads[field_lib.IDX_NB_SHAPE_RAW] = dobs[:, 1]
+    grads[field_lib.IDX_ZINB_LOGIT] = dobs[:, 2]
     grads[field_lib.IDX_LAYER_SCALES] = dscales
     grads[field_lib.IDX_ACTIVATION_LOGIT] = dlogit
     for l in range(num_w):
@@ -310,18 +280,11 @@ def _make_pallas_train_fn(
       grads = [g + pg for g, pg in zip(grads, prior_grads)]
     return losses, tuple(grads)
 
-  use_fused_train = distribution == likelihoods.LikelihoodDist.NORMAL
-
   def shard_train(params_b, opt_b, keys_b, aug_t, target):
     def one_step(carry, batch):
       params_b, opt_b = carry
       aug_b, y_b = batch
-      if use_fused_train:
-        losses, grads = fused_losses_and_grads(params_b, aug_b, y_b)
-      else:
-        (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(
-            params_b, aug_b, y_b
-        )
+      losses, grads = fused_losses_and_grads(params_b, aug_b, y_b)
       updates, opt_b = jax.vmap(optimizer.update)(grads, opt_b)
       params_b = optax.apply_updates(params_b, updates)
       return (tuple(params_b), opt_b), losses

@@ -174,9 +174,10 @@ def _make_pallas_vi_fn(
   The ELBO's MC-sample axis is folded into the kernel's *member* axis:
   each reparametrized draw carries its own sampled weights, so the local
   ensemble presents (E_local * sample_size) independent parameter sets to
-  one `fused_field_mlp_t` invocation. Per-member RNG (step key splits,
-  draw sampling, minibatch permutation) matches `_make_vi_fn` exactly, so
-  the two backends agree up to matmul reassociation.
+  one `fused_train` invocation (any observation model). Per-member RNG
+  (step key splits, draw sampling, minibatch permutation) matches
+  `_make_vi_fn` exactly, so the two backends agree up to matmul
+  reassociation.
 
   Wrapped in `jax.shard_map` over the mesh's 'ens' axis (Pallas calls are
   not GSPMD-partitionable); requires data axis 1.
@@ -194,41 +195,15 @@ def _make_pallas_vi_fn(
   if tile is None:
     tile = fused_mlp.pick_tile(config.width, batch_size)
 
-  def folded_pred(z_f, aug_bt):
-    """Predictions for folded draws; aug (F,B) shared or (ES,F,B) per-draw."""
-    encode = lambda p, a: tuple(
-        field_lib.encode_t_groups(config, p, a[:d], a[d:])
-    )
-    if aug_bt.ndim == 2:
-      h0 = jax.vmap(encode, in_axes=(0, None))(z_f, aug_bt)
-    else:
-      h0 = jax.vmap(encode)(z_f, aug_bt)
-    weights = tuple(
-        z_f[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w)
-    )
-    biases = tuple(
-        z_f[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w)
-    )
-    return fused_mlp.fused_field_mlp_t(
-        config.depth,
-        tile,
-        precision,
-        h0,
-        weights,
-        biases,
-        z_f[field_lib.IDX_LAYER_SCALES],
-        z_f[field_lib.IDX_ACTIVATION_LOGIT],
-    )
-
   def make_kernel_nll(aug_bt, y_b):
     """lik_scale * -loglik as a custom-VJP op over the fused train kernel.
 
-    The kernel (`fused_mlp.fused_normal_train`) produces the loss AND all
-    its parameter gradients in one pass; wrapping it in `custom_vjp` (the
-    forward saves the gradients as residuals, the backward scales them by
-    the incoming per-member cotangent) lets JAX autodiff compose the rest
-    of the ELBO — the reparametrized sampling, log q, and prior — around
-    it untouched.
+    The kernel (`fused_mlp.fused_train`, any observation model) produces
+    the loss AND all its parameter gradients in one pass; wrapping it in
+    `custom_vjp` (the forward saves the gradients as residuals, the
+    backward scales them by the incoming per-member cotangent) lets JAX
+    autodiff compose the rest of the ELBO — the reparametrized sampling,
+    log q, and prior — around it untouched.
     """
     x_b = aug_bt[..., :d, :]
     seasonal_b = aug_bt[..., d:, :]
@@ -240,7 +215,16 @@ def _make_pallas_vi_fn(
       biases = tuple(
           z_f[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w)
       )
-      return fused_mlp.fused_normal_train(
+      obs_raw = jnp.stack(
+          [
+              z_f[field_lib.IDX_LOG_NOISE_SCALE],
+              z_f[field_lib.IDX_NB_SHAPE_RAW],
+              z_f[field_lib.IDX_ZINB_LOGIT],
+          ],
+          axis=-1,
+      )
+      return fused_mlp.fused_train(
+          distribution.value,
           config.depth,
           tile,
           lik_scale,
@@ -255,8 +239,9 @@ def _make_pallas_vi_fn(
           z_f[field_lib.IDX_FEATURE_SCALES],
           z_f[field_lib.IDX_LAYER_SCALES],
           z_f[field_lib.IDX_ACTIVATION_LOGIT],
-          z_f[field_lib.IDX_LOG_NOISE_SCALE],
+          obs_raw,
           y_b,
+          precision=precision,
       )
 
     @jax.custom_vjp
@@ -264,17 +249,17 @@ def _make_pallas_vi_fn(
       return run_kernel(z_f)[0]
 
     def fwd(z_f):
-      losses, dlsa, dfs, dws, dbs, dscales, dlogit, dnoise = run_kernel(z_f)
-      return losses, (dlsa, dfs, dws, dbs, dscales, dlogit, dnoise)
+      losses, dlsa, dfs, dws, dbs, dscales, dlogit, dobs = run_kernel(z_f)
+      return losses, (dlsa, dfs, dws, dbs, dscales, dlogit, dobs)
 
     def bwd(res, g):
-      dlsa, dfs, dws, dbs, dscales, dlogit, dnoise = res
+      dlsa, dfs, dws, dbs, dscales, dlogit, dobs = res
       grads = [None] * len(field_lib.param_specs(config))
       def scaled(grad):
         return grad * g.reshape((-1,) + (1,) * (grad.ndim - 1))
-      grads[field_lib.IDX_LOG_NOISE_SCALE] = scaled(dnoise)
-      grads[field_lib.IDX_NB_SHAPE_RAW] = jnp.zeros_like(dnoise)
-      grads[field_lib.IDX_ZINB_LOGIT] = jnp.zeros_like(dnoise)
+      grads[field_lib.IDX_LOG_NOISE_SCALE] = scaled(dobs[:, 0])
+      grads[field_lib.IDX_NB_SHAPE_RAW] = scaled(dobs[:, 1])
+      grads[field_lib.IDX_ZINB_LOGIT] = scaled(dobs[:, 2])
       grads[field_lib.IDX_LOG_SCALE_ADJ] = scaled(dlsa)
       grads[field_lib.IDX_FEATURE_SCALES] = scaled(dfs)
       grads[field_lib.IDX_ACTIVATION_LOGIT] = scaled(dlogit)
@@ -286,8 +271,6 @@ def _make_pallas_vi_fn(
 
     kernel_nll.defvjp(fwd, bwd)
     return kernel_nll
-
-  use_fused_train = distribution == likelihoods.LikelihoodDist.NORMAL
 
   def elbo_losses(surrogate, sample_keys, aug_bt, y_b):
     """(E_local,) per-member negative ELBO (mean over MC draws)."""
@@ -309,20 +292,7 @@ def _make_pallas_vi_fn(
     else:
       aug_f, y_f = aug_bt, y_b
 
-    if use_fused_train:
-      nll = make_kernel_nll(aug_f, y_f)(z_f)  # (ES,) = -loglik * lik_scale
-    elif per_member_batch:
-      pred = folded_pred(z_f, aug_f)
-      nll = -lik_scale * jax.vmap(
-          lambda p, pr, y: likelihoods.log_likelihood(distribution, p, pr, y)
-      )(z_f, pred, y_f)
-    else:
-      pred = folded_pred(z_f, aug_f)
-      nll = -lik_scale * jax.vmap(
-          lambda p, pr: likelihoods.log_likelihood(
-              distribution, p, pr, y_f
-          )
-      )(z_f, pred)
+    nll = make_kernel_nll(aug_f, y_f)(z_f)  # (ES,) = -loglik * lik_scale
     prior = jax.vmap(lambda p: priors.prior_log_prob(config, p))(z_f)
     target = (prior - nll).reshape(e_local, sample_size)
     logq = jax.vmap(

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bayesnf_tpu.ops import special
+
 
 def _interpret() -> bool:
   """Run Pallas in interpreter mode off-TPU (CPU tests / debugging)."""
@@ -890,9 +892,109 @@ def _encode_backward_in_kernel(fourier_degrees, interactions, dh0, residuals,
   return dlsa, dfs
 
 
+def _likelihood_tile(distribution, pred, y, mask, obs0, obs1, obs2, lik_scale):
+  """In-kernel loss, pred-cotangent, and observation-scalar gradients.
+
+  Shared by the single-pass train kernel for all three observation models
+  (semantics of models/likelihoods.py:32-77, hand-differentiated). The NB
+  gammaln terms never touch `pred`, so the MLP backward needs no digamma;
+  only the scalar shape gradient does (Stirling forms from ops/special —
+  pure log/exp/mul, so Mosaic can lower them; `lax.lgamma` cannot).
+
+  Args:
+    distribution: 'NORMAL' | 'NB' | 'ZINB' (static).
+    pred: (1, tile) field outputs.
+    y: (1, tile) targets.
+    mask: (1, tile) 1.0 for valid rows, 0.0 for padding.
+    obs0, obs1, obs2: the member's observation scalars
+      (log_noise_scale, nb_shape_raw, zinb_logit).
+    lik_scale: static data_size/batch_size multiplier.
+
+  Returns:
+    (loss_tile (), g (1, tile) = d loss/d pred, dobs (3,)).
+  """
+  zero = jnp.zeros((), jnp.float32)
+  if distribution == 'NORMAL':
+    sigma = 0.01 + jnp.exp(obs0)
+    inv_sigma2 = 1.0 / (sigma * sigma)
+    r = (pred - y) * mask
+    n_tile = jnp.sum(mask)
+    loss = lik_scale * (
+        0.5 * inv_sigma2 * jnp.sum(r * r)
+        + n_tile * (jnp.log(sigma) + _HALF_LOG_2PI)
+    )
+    # d loss / d sigma = -sum(r^2)/sigma^3 + n/sigma, times dsigma/dp0.
+    dnoise = (
+        lik_scale
+        * (sigma - 0.01)
+        * (n_tile / sigma - jnp.sum(r * r) * inv_sigma2 / sigma)
+    )
+    g = lik_scale * inv_sigma2 * r
+    return loss, g, jnp.stack([dnoise, zero, zero])
+
+  # NB / ZINB: mean = softplus(pred), shape s = softplus(p1), r = 1/s,
+  # logits l = log(r) - log(mean) (DeepAR parametrization).
+  s = jax.nn.softplus(obs1)
+  rr = 1.0 / s
+  safe = jnp.maximum(pred, -15.0)
+  # Stable log softplus(pred) and its derivative sigmoid/softplus -> 1
+  # as pred -> -inf.
+  lsp = jnp.where(pred < -15.0, pred, jnp.log(jax.nn.softplus(safe)))
+  ratio = jnp.where(
+      pred < -15.0,
+      jnp.ones_like(pred),
+      jax.nn.sigmoid(safe) / jax.nn.softplus(safe),
+  )
+  l = -jnp.log(s) - lsp
+  sp_l = jax.nn.softplus(l)       # -log_sigmoid(-l)
+  sp_nl = jax.nn.softplus(-l)     # -log_sigmoid(l)
+  nb_lp = (
+      special.gammaln_stirling(rr + y)
+      - special.gammaln_stirling(1.0 + y)
+      - special.gammaln_stirling(rr)
+      - rr * sp_l
+      - y * sp_nl
+  )
+  dlp_dl = -rr * jax.nn.sigmoid(l) + y * jax.nn.sigmoid(-l)
+  # Total d nb_lp/d r: the explicit r terms plus l's log(r) dependence.
+  dlp_dr = (
+      special.digamma_stirling(rr + y)
+      - special.digamma_stirling(rr)
+      - sp_l
+      + dlp_dl / rr
+  )
+
+  if distribution == 'ZINB':
+    log_pi = -jax.nn.softplus(-obs2)
+    log1m = -jax.nn.softplus(obs2)
+    b = log1m + nb_lp
+    m = jnp.maximum(log_pi, b)
+    zero_lp = m + jnp.log(jnp.exp(log_pi - m) + jnp.exp(b - m))
+    lp = jnp.where(y == 0, zero_lp, b)
+    w_b = jax.nn.sigmoid(b - log_pi)   # d zero_lp / d b
+    dlp_dnb = jnp.where(y == 0, w_b, jnp.ones_like(w_b))
+    dlp_dp2 = jnp.where(
+        y == 0,
+        (1.0 - w_b) * jax.nn.sigmoid(-obs2) - w_b * jax.nn.sigmoid(obs2),
+        -jax.nn.sigmoid(obs2) * jnp.ones_like(w_b),
+    )
+    dp2 = -lik_scale * jnp.sum(mask * dlp_dp2)
+  else:
+    lp = nb_lp
+    dlp_dnb = jnp.ones_like(nb_lp)
+    dp2 = zero
+
+  loss = -lik_scale * jnp.sum(mask * lp)
+  # d loss/d pred flows only through l; dl/dpred = -ratio.
+  g = lik_scale * mask * dlp_dnb * dlp_dl * ratio
+  dr_dp1 = -jax.nn.sigmoid(obs1) / (s * s)
+  dp1 = -lik_scale * jnp.sum(mask * dlp_dnb * dlp_dr) * dr_dp1
+  return loss, g, jnp.stack([zero, dp1, dp2])
+
+
 def _train_kernel_raw(
     depth, rsqrts, n_valid, tile, lik_scale, fourier_degrees,
-    interactions, has_seasonal, compute_dtype, *refs
+    interactions, has_seasonal, compute_dtype, distribution, *refs
 ):
   """One (member, row-tile) cell: encode + forward + loss + backward."""
   x_ref = refs[0]
@@ -902,7 +1004,7 @@ def _train_kernel_raw(
   num_w = depth + 1
   w_refs = refs[:num_w]
   b_refs = refs[num_w : 2 * num_w]
-  (lsa_ref, fs_ref, scales_ref, logit_ref, noise_ref, y_ref) = refs[
+  (lsa_ref, fs_ref, scales_ref, logit_ref, obs_ref, y_ref) = refs[
       2 * num_w : 2 * num_w + 6
   ]
   out_refs = refs[2 * num_w + 6 :]
@@ -912,7 +1014,7 @@ def _train_kernel_raw(
   db_refs = out_refs[3 + num_w : 3 + 2 * num_w]
   dscales_ref = out_refs[3 + 2 * num_w]
   dlogit_ref = out_refs[3 + 2 * num_w + 1]
-  dnoise_ref = out_refs[3 + 2 * num_w + 2]
+  dobs_ref = out_refs[3 + 2 * num_w + 2]
 
   t = pl.program_id(1)
 
@@ -948,28 +1050,17 @@ def _train_kernel_raw(
   )
   pred = s[depth] * v_out  # (1, tile)
 
-  # --- NORMAL negative log-likelihood over the valid rows of this tile.
+  # --- Observation-model loss over the valid rows of this tile.
   # mask zeroes both the padded tail and its gradient contributions.
   mask = (
       jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) < n_valid - t * tile
   ).astype(jnp.float32)
-  sigma = 0.01 + jnp.exp(noise_ref[0, 0, 0])
-  inv_sigma2 = 1.0 / (sigma * sigma)
-  r = (pred - y_ref[0]) * mask
-  n_tile = jnp.sum(mask)
-  loss_tile = lik_scale * (
-      0.5 * inv_sigma2 * jnp.sum(r * r)
-      + n_tile * (jnp.log(sigma) + _HALF_LOG_2PI)
-  )
-  # d loss / d sigma = -sum(r^2)/sigma^3 + n/sigma, times dsigma/dp0 = e^p0.
-  dnoise_tile = (
-      lik_scale
-      * (sigma - 0.01)
-      * (n_tile / sigma - jnp.sum(r * r) * inv_sigma2 / sigma)
+  loss_tile, g, dobs_tile = _likelihood_tile(
+      distribution, pred, y_ref[0], mask,
+      obs_ref[0, 0, 0], obs_ref[0, 1, 0], obs_ref[0, 2, 0], lik_scale,
   )
 
   # --- Backward from the loss' pred-cotangent, using saved activations.
-  g = lik_scale * inv_sigma2 * r  # (1, tile)
   ds = [jnp.zeros((), jnp.float32)] * (depth + 1)
   dlogit_acc = jnp.zeros((), jnp.float32)
 
@@ -998,7 +1089,7 @@ def _train_kernel_raw(
   loss_2d = loss_tile[None, None]
   dscales_2d = (jnp.stack(ds) * ds_raw)[None, :]
   dlogit_2d = (dlogit_acc * w * (1.0 - w))[None, None]
-  dnoise_2d = dnoise_tile[None, None]
+  dobs_2d = dobs_tile[:, None]  # (3, 1)
 
   @pl.when(t == 0)
   def _():
@@ -1010,7 +1101,7 @@ def _train_kernel_raw(
       db_refs[l][0] = dbs[l]
     dscales_ref[0] = dscales_2d
     dlogit_ref[0] = dlogit_2d
-    dnoise_ref[0] = dnoise_2d
+    dobs_ref[0] = dobs_2d
 
   @pl.when(t != 0)
   def _():
@@ -1022,26 +1113,29 @@ def _train_kernel_raw(
       db_refs[l][0] += dbs[l]
     dscales_ref[0] += dscales_2d
     dlogit_ref[0] += dlogit_2d
-    dnoise_ref[0] += dnoise_2d
+    dobs_ref[0] += dobs_2d
 
 
-def fused_normal_train(
-    depth, tile, lik_scale, input_scales, fourier_degrees, interactions,
-    x_t, seasonal_t, weights, biases, lsa, fs_raw, scales_raw, logit,
-    log_noise, y, precision='f32'
+def fused_train(
+    distribution, depth, tile, lik_scale, input_scales, fourier_degrees,
+    interactions, x_t, seasonal_t, weights, biases, lsa, fs_raw, scales_raw,
+    logit, obs_raw, y, precision='f32'
 ):
-  """Fused NORMAL training objective from RAW inputs: loss AND grads.
+  """Fused training objective from RAW inputs: loss AND grads, any likelihood.
 
   Computes, per ensemble member e,
 
-      loss_e = lik_scale * sum_rows -log Normal(y | pred_e, 0.01 + e^p0_e)
+      loss_e = lik_scale * sum_rows -log p(y | pred_e, obs-scalars_e)
 
-  where pred_e is the full field MLP applied to the in-kernel encoding of
-  the raw inputs, together with gradients w.r.t. every learned input —
-  all in a single Pallas program (see the section comment above). The
-  caller adds the (parameter-only) prior term in XLA.
+  under NORMAL / NB / ZINB observation models (semantics of
+  models/likelihoods.py, hand-differentiated in `_likelihood_tile`), where
+  pred_e is the full field MLP applied to the in-kernel encoding of the raw
+  inputs — together with gradients w.r.t. every learned input, all in a
+  single Pallas program (see the section comment above). The caller adds
+  the (parameter-only) prior term in XLA.
 
   Args:
+    distribution: 'NORMAL' | 'NB' | 'ZINB' (static).
     depth: number of hidden layers (static).
     tile: row-tile size (static).
     lik_scale: static scalar multiplier of the negative log-likelihood.
@@ -1057,15 +1151,16 @@ def fused_normal_train(
     fs_raw: (E, G) pre-softplus feature-group scales.
     scales_raw: (E, depth+1) pre-softplus layer scales.
     logit: (E,) activation-blend logits.
-    log_noise: (E,) pre-exp observation noise scales.
+    obs_raw: (E, 3) observation scalars per member:
+      (log_noise_scale, nb_shape_raw, zinb_logit).
     y: (N,) shared targets or (E, N) per-member targets.
     precision: 'f32' or 'bf16' (bf16 MXU operands, f32 accumulation; the
       encode, likelihood, and all size-1-minor dots stay f32).
 
   Returns:
     (losses, dlsa, dfs_raw, dweights, dbiases, dscales_raw, dlogit,
-    dlog_noise) with `losses` of shape (E,) and every gradient shaped like
-    its input.
+    dobs_raw) with `losses` of shape (E,) and every gradient shaped like
+    its input (dobs_raw: (E, 3)).
   """
   e = weights[0].shape[0]
   d_in = x_t.shape[-2]
@@ -1153,14 +1248,14 @@ def fused_normal_train(
       + [
           jax.ShapeDtypeStruct((e, 1, depth + 1), jnp.float32),
           jax.ShapeDtypeStruct((e, 1, 1), jnp.float32),
-          jax.ShapeDtypeStruct((e, 1, 1), jnp.float32),
+          jax.ShapeDtypeStruct((e, 3, 1), jnp.float32),  # dobs
       ]
   )
   out_specs = (
       [scalar_spec, col_spec(d_in), col_spec(g_dim)]
       + w_specs
       + list(b_specs)
-      + [scales_spec, scalar_spec, scalar_spec]
+      + [scales_spec, scalar_spec, col_spec(3)]
   )
   # Fold the static input scales into the learned log-scale adjustment so
   # the kernel captures no array constants (d/d(lsa) is unchanged).
@@ -1172,15 +1267,16 @@ def fused_normal_train(
               _train_kernel_raw, depth, rsqrts, n, tile, float(lik_scale),
               tuple(fourier_degrees),
               tuple(interactions), has_seasonal, _compute_dtype(precision),
+              distribution,
           ),
-          'fused_train_normal_raw'
+          f'fused_train_{distribution.lower()}_raw'
           f'_{"xm" if x_t.ndim == 3 else "xs"}'
           f'{"ym" if y_per_member else "ys"}_{precision}',
       ),
       grid=grid,
       in_specs=in_specs + [
           *w_specs, *b_specs, col_spec(d_in), col_spec(g_dim), scales_spec,
-          scalar_spec, scalar_spec, y_spec,
+          scalar_spec, col_spec(3), y_spec,
       ],
       out_specs=out_specs,
       out_shape=out_shapes,
@@ -1194,7 +1290,7 @@ def fused_normal_train(
       fs_raw[:, :, None],
       scales_raw[:, None, :],
       logit[:, None, None],
-      log_noise[:, None, None],
+      obs_raw[:, :, None],
       y3,
   )
 
@@ -1207,5 +1303,5 @@ def fused_normal_train(
   dbiases = tuple(o[:, :, 0] for o in rest[num_w : 2 * num_w])
   dscales = rest[2 * num_w][:, 0, :]
   dlogit = rest[2 * num_w + 1][:, 0, 0]
-  dlog_noise = rest[2 * num_w + 2][:, 0, 0]
-  return losses, dlsa, dfs, dweights, dbiases, dscales, dlogit, dlog_noise
+  dobs = rest[2 * num_w + 2][:, :, 0]
+  return losses, dlsa, dfs, dweights, dbiases, dscales, dlogit, dobs

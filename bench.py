@@ -159,6 +159,43 @@ def main():
     print('WARNING: VI bench failed:', file=sys.stderr)
     traceback.print_exc(limit=3, file=sys.stderr)
 
+  # Tertiary metric: NB (count-likelihood) training throughput — exercises
+  # the in-kernel Stirling gammaln/digamma path. Failures are non-fatal.
+  nb_value = None
+  try:
+    y_nb = jnp.asarray(
+        rng.poisson(np.exp(np.asarray(y) / 8.0) + 1.0).astype(np.float32)
+    )
+    nb_epochs = 10 if small else 100
+    def run_nb(num_epochs, seed):
+      _, nb_losses = map_lib.ensemble_map(
+          aug,
+          y_nb,
+          config,
+          likelihoods.LikelihoodDist.NB,
+          ensemble_size=ensemble,
+          learning_rate=0.005,
+          num_epochs=num_epochs,
+          seed=jax.random.PRNGKey(seed),
+          batch_size=None,
+          prior_weight=1.0,
+          mesh=mesh,
+          precision=precision,
+          backend=backend,
+      )
+      return np.asarray(nb_losses)
+
+    run_nb(nb_epochs, seed=0)
+    with profiling.StepTimer(
+        member_steps=nb_epochs * ensemble, num_chips=n_chips
+    ) as nb_timer:
+      nb_losses = run_nb(nb_epochs, seed=1)
+    assert np.all(np.isfinite(nb_losses)), 'non-finite NB bench loss'
+    nb_value = nb_timer.report.member_steps_per_sec_per_chip
+  except Exception:  # pylint: disable=broad-except
+    print('WARNING: NB bench failed:', file=sys.stderr)
+    traceback.print_exc(limit=3, file=sys.stderr)
+
   record = {
       'metric': 'map_member_steps_per_sec_per_chip',
       'value': round(value, 2),
@@ -171,6 +208,8 @@ def main():
   }
   if vi_value is not None:
     record['vi_member_steps_per_sec_per_chip'] = round(vi_value, 2)
+  if nb_value is not None:
+    record['nb_member_steps_per_sec_per_chip'] = round(nb_value, 2)
   print(json.dumps(record))
 
 

@@ -182,11 +182,17 @@ class TestTransposedKernels:
                                  atol=5e-4)
 
 
-class TestFusedNormalTrain:
-  """fused_normal_train (raw-input single-pass loss+grad) vs autodiff oracle."""
+class TestFusedTrain:
+  """fused_train (raw-input single-pass loss+grad) vs autodiff oracle.
 
-  def _setup(self, n=70, per_member_x=False, interactions=((0, 1), (1, 2)),
-             seasonal=True, seed=3):
+  The oracle is the pure-JAX path: `field.apply_field_t` +
+  `likelihoods.log_likelihood` differentiated by autodiff. Covers all three
+  observation models; the count models exercise the in-kernel Stirling
+  gammaln/digamma (ops/special) against jax.scipy's implementations.
+  """
+
+  def _setup(self, distribution='NORMAL', n=70, per_member_x=False,
+             interactions=((0, 1), (1, 2)), seasonal=True, seed=3):
     from bayesnf_tpu.models import field as field_lib
     from bayesnf_tpu.models import likelihoods
 
@@ -209,6 +215,17 @@ class TestFusedNormalTrain:
         p + 0.1 * jnp.asarray(rng.normal(size=p.shape).astype(np.float32))
         for p in params
     )
+
+    def draw_y(shape):
+      if distribution == 'NORMAL':
+        return rng.normal(size=shape).astype(np.float32)
+      # Counts with a few zeros (exercises the ZINB zero branch) and a
+      # heavy tail (exercises gammaln at larger arguments).
+      y = rng.poisson(rng.gamma(2.0, 4.0, size=shape)).astype(np.float32)
+      flat = y.reshape(-1)
+      flat[:: 7] = 0.0
+      return flat.reshape(shape)
+
     if per_member_x:
       x = rng.normal(size=(e, n, config.num_inputs)).astype(np.float32) * 5
       x_t = jnp.asarray(np.swapaxes(x, 1, 2))
@@ -216,22 +233,23 @@ class TestFusedNormalTrain:
           field_lib.seasonal_features_for(config, jnp.asarray(x[i])).T
           for i in range(e)
       ])
-      y = jnp.asarray(rng.normal(size=(e, n)).astype(np.float32))
+      y = jnp.asarray(draw_y((e, n)))
     else:
       x = rng.normal(size=(n, config.num_inputs)).astype(np.float32) * 5
       x_t = jnp.asarray(x.T)
       seas = field_lib.seasonal_features_for(config, jnp.asarray(x)).T
-      y = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+      y = jnp.asarray(draw_y((n,)))
     return config, params, x_t, seas, y, likelihoods
 
-  def _oracle(self, config, params, x_t, seas, y, likelihoods, lik_scale):
+  def _oracle(self, distribution, config, params, x_t, seas, y, likelihoods,
+              lik_scale):
     from bayesnf_tpu.models import field as field_lib
+
+    dist = likelihoods.LikelihoodDist(distribution)
 
     def member_loss(p, xt, st, yy):
       pred = field_lib.apply_field_t(config, p, xt, st)
-      return -lik_scale * likelihoods.log_likelihood(
-          likelihoods.LikelihoodDist.NORMAL, p, pred, yy
-      )
+      return -lik_scale * likelihoods.log_likelihood(dist, p, pred, yy)
 
     if x_t.ndim == 2:
       total = lambda ps: jax.vmap(
@@ -245,128 +263,118 @@ class TestFusedNormalTrain:
       losses_fn = lambda ps: jax.vmap(member_loss)(ps, x_t, seas, y)
     return losses_fn(params), jax.grad(total)(params)
 
-  @pytest.mark.parametrize('per_member_x', [False, True])
-  def test_matches_autodiff(self, per_member_x):
+  def _run_fused(self, distribution, config, params, x_t, seas, y, lik_scale,
+                 precision='f32'):
     from bayesnf_tpu.models import field as field_lib
 
-    config, params, x_t, seas, y, likelihoods = self._setup(
-        per_member_x=per_member_x)
-    lik_scale = 1.75
     num_w = config.depth + 1
     weights = tuple(
         params[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w))
     biases = tuple(
         params[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w))
-    losses, dlsa, dfs, dws, dbs, dscales, dlogit, dnoise = (
-        fused_mlp.fused_normal_train(
-            config.depth, 32, lik_scale, config.input_scales,
-            config.fourier_degrees, config.interactions, x_t, seas,
-            weights, biases,
-            params[field_lib.IDX_LOG_SCALE_ADJ],
-            params[field_lib.IDX_FEATURE_SCALES],
-            params[field_lib.IDX_LAYER_SCALES],
-            params[field_lib.IDX_ACTIVATION_LOGIT],
+    obs_raw = jnp.stack(
+        [
             params[field_lib.IDX_LOG_NOISE_SCALE],
-            y,
-        )
+            params[field_lib.IDX_NB_SHAPE_RAW],
+            params[field_lib.IDX_ZINB_LOGIT],
+        ],
+        axis=-1,
     )
-    want_losses, want_grads = self._oracle(
-        config, params, x_t, seas, y, likelihoods, lik_scale)
-
-    np.testing.assert_allclose(
-        np.asarray(losses), np.asarray(want_losses), rtol=2e-4)
+    losses, dlsa, dfs, dws, dbs, dscales, dlogit, dobs = fused_mlp.fused_train(
+        distribution, config.depth, 32, lik_scale, config.input_scales,
+        config.fourier_degrees, config.interactions, x_t, seas,
+        weights, biases,
+        params[field_lib.IDX_LOG_SCALE_ADJ],
+        params[field_lib.IDX_FEATURE_SCALES],
+        params[field_lib.IDX_LAYER_SCALES],
+        params[field_lib.IDX_ACTIVATION_LOGIT],
+        obs_raw,
+        y,
+        precision=precision,
+    )
     pairs = {
-        'dlsa': (dlsa, want_grads[field_lib.IDX_LOG_SCALE_ADJ]),
-        'dfs': (dfs, want_grads[field_lib.IDX_FEATURE_SCALES]),
-        'dscales': (dscales, want_grads[field_lib.IDX_LAYER_SCALES]),
-        'dlogit': (dlogit, want_grads[field_lib.IDX_ACTIVATION_LOGIT]),
-        'dnoise': (dnoise, want_grads[field_lib.IDX_LOG_NOISE_SCALE]),
+        'dlsa': (dlsa, field_lib.IDX_LOG_SCALE_ADJ),
+        'dfs': (dfs, field_lib.IDX_FEATURE_SCALES),
+        'dscales': (dscales, field_lib.IDX_LAYER_SCALES),
+        'dlogit': (dlogit, field_lib.IDX_ACTIVATION_LOGIT),
+        'dnoise': (dobs[:, 0], field_lib.IDX_LOG_NOISE_SCALE),
+        'dshape': (dobs[:, 1], field_lib.IDX_NB_SHAPE_RAW),
+        'dzinb': (dobs[:, 2], field_lib.IDX_ZINB_LOGIT),
     }
     for l in range(num_w):
-      pairs[f'dw{l}'] = (dws[l], want_grads[field_lib.IDX_FIRST_DENSE + 2 * l])
-      pairs[f'db{l}'] = (
-          dbs[l], want_grads[field_lib.IDX_FIRST_DENSE + 2 * l + 1])
-    for name, (got, want) in pairs.items():
+      pairs[f'dw{l}'] = (dws[l], field_lib.IDX_FIRST_DENSE + 2 * l)
+      pairs[f'db{l}'] = (dbs[l], field_lib.IDX_FIRST_DENSE + 2 * l + 1)
+    return losses, pairs
+
+  # The observation scalars the oracle does NOT differentiate for a given
+  # model (their gradient must come back exactly zero from the kernel).
+  _UNUSED_OBS = {
+      'NORMAL': ('dshape', 'dzinb'),
+      'NB': ('dnoise', 'dzinb'),
+      'ZINB': ('dnoise',),
+  }
+
+  @pytest.mark.parametrize('distribution', ['NORMAL', 'NB', 'ZINB'])
+  @pytest.mark.parametrize('per_member_x', [False, True])
+  def test_matches_autodiff(self, distribution, per_member_x):
+    config, params, x_t, seas, y, likelihoods = self._setup(
+        distribution=distribution, per_member_x=per_member_x)
+    lik_scale = 1.75
+    losses, pairs = self._run_fused(
+        distribution, config, params, x_t, seas, y, lik_scale)
+    want_losses, want_grads = self._oracle(
+        distribution, config, params, x_t, seas, y, likelihoods, lik_scale)
+
+    # Count-model losses include the Stirling-vs-lgamma difference
+    # (~3e-4 relative worst-case, see ops/special).
+    loss_rtol = 2e-4 if distribution == 'NORMAL' else 1e-3
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(want_losses), rtol=loss_rtol)
+    grad_tol = (2e-4, 2e-5) if distribution == 'NORMAL' else (2e-3, 2e-4)
+    for name, (got, idx) in pairs.items():
+      want = np.asarray(want_grads[idx])
+      if name in self._UNUSED_OBS[distribution]:
+        np.testing.assert_array_equal(np.asarray(got), np.zeros_like(want),
+                                      err_msg=name)
+        continue
       np.testing.assert_allclose(
-          np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5,
+          np.asarray(got), want, rtol=grad_tol[0], atol=grad_tol[1],
           err_msg=name)
 
-  def test_bf16_close_to_f32_oracle(self):
+  @pytest.mark.parametrize('distribution', ['NORMAL', 'NB'])
+  def test_bf16_close_to_f32_oracle(self, distribution):
     """bf16 MXU operands: losses and grads track the f32 oracle.
 
-    Tolerances are bf16-mantissa-scale (8 bits): relative agreement ~1%,
+    Tolerances are bf16-mantissa-scale (8 bits): relative agreement ~1-2%,
     with an absolute floor sized to each tensor's own magnitude so that
     near-zero entries don't demand impossible relative precision.
     """
-    from bayesnf_tpu.models import field as field_lib
-
-    config, params, x_t, seas, y, likelihoods = self._setup()
+    config, params, x_t, seas, y, likelihoods = self._setup(
+        distribution=distribution)
     lik_scale = 1.75
-    num_w = config.depth + 1
-    weights = tuple(
-        params[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w))
-    biases = tuple(
-        params[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w))
-    losses, dlsa, dfs, dws, dbs, dscales, dlogit, dnoise = (
-        fused_mlp.fused_normal_train(
-            config.depth, 32, lik_scale, config.input_scales,
-            config.fourier_degrees, config.interactions, x_t, seas,
-            weights, biases,
-            params[field_lib.IDX_LOG_SCALE_ADJ],
-            params[field_lib.IDX_FEATURE_SCALES],
-            params[field_lib.IDX_LAYER_SCALES],
-            params[field_lib.IDX_ACTIVATION_LOGIT],
-            params[field_lib.IDX_LOG_NOISE_SCALE],
-            y,
-            precision='bf16',
-        )
-    )
+    losses, pairs = self._run_fused(
+        distribution, config, params, x_t, seas, y, lik_scale,
+        precision='bf16')
     want_losses, want_grads = self._oracle(
-        config, params, x_t, seas, y, likelihoods, lik_scale)
+        distribution, config, params, x_t, seas, y, likelihoods, lik_scale)
 
     np.testing.assert_allclose(
         np.asarray(losses), np.asarray(want_losses), rtol=2e-2)
-    flat = [
-        (dlsa, want_grads[field_lib.IDX_LOG_SCALE_ADJ], 'dlsa'),
-        (dfs, want_grads[field_lib.IDX_FEATURE_SCALES], 'dfs'),
-        (dscales, want_grads[field_lib.IDX_LAYER_SCALES], 'dscales'),
-        (dlogit, want_grads[field_lib.IDX_ACTIVATION_LOGIT], 'dlogit'),
-        (dnoise, want_grads[field_lib.IDX_LOG_NOISE_SCALE], 'dnoise'),
-    ] + [
-        (dws[l], want_grads[field_lib.IDX_FIRST_DENSE + 2 * l], f'dw{l}')
-        for l in range(num_w)
-    ] + [
-        (dbs[l], want_grads[field_lib.IDX_FIRST_DENSE + 2 * l + 1], f'db{l}')
-        for l in range(num_w)
-    ]
-    for got, want, name in flat:
-      want = np.asarray(want)
+    for name, (got, idx) in pairs.items():
+      if name in self._UNUSED_OBS[distribution]:
+        continue
+      want = np.asarray(want_grads[idx])
       scale = max(float(np.abs(want).max()), 1e-3)
       np.testing.assert_allclose(
           np.asarray(got), want, rtol=2e-2, atol=2e-2 * scale, err_msg=name)
 
   def test_no_seasonal_no_interactions(self):
-    from bayesnf_tpu.models import field as field_lib
-
     config, params, x_t, seas, y, likelihoods = self._setup(
         interactions=(), seasonal=False)
     assert seas.shape[0] == 0
-    num_w = config.depth + 1
-    weights = tuple(
-        params[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w))
-    biases = tuple(
-        params[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w))
-    losses, *_ = fused_mlp.fused_normal_train(
-        config.depth, 32, 1.0, config.input_scales, config.fourier_degrees,
-        config.interactions, x_t, seas, weights, biases,
-        params[field_lib.IDX_LOG_SCALE_ADJ],
-        params[field_lib.IDX_FEATURE_SCALES],
-        params[field_lib.IDX_LAYER_SCALES],
-        params[field_lib.IDX_ACTIVATION_LOGIT],
-        params[field_lib.IDX_LOG_NOISE_SCALE],
-        y,
-    )
+    losses, _ = self._run_fused(
+        'NORMAL', config, params, x_t, seas, y, 1.0)
     want_losses, _ = self._oracle(
-        config, params, x_t, seas, y, likelihoods, 1.0)
+        'NORMAL', config, params, x_t, seas, y, likelihoods, 1.0)
     np.testing.assert_allclose(
         np.asarray(losses), np.asarray(want_losses), rtol=2e-4)

@@ -45,6 +45,27 @@ class TestSpecial:
     grads = np.asarray(jax.vmap(jax.grad(special.log_softplus))(x))
     assert np.all(np.isfinite(grads))
 
+  def test_gammaln_stirling_vs_scipy(self):
+    # Kernel-safe (log/exp/mul-only) form used inside the fused train
+    # kernel; compare against scipy over the argument ranges NB sees
+    # (counts + 1/softplus(shape)).
+    x = np.concatenate(
+        [np.linspace(1e-3, 20, 997), np.logspace(1.5, 6, 200)]
+    ).astype(np.float32)
+    got = np.asarray(special.gammaln_stirling(x))
+    want = scipy.special.gammaln(x.astype(np.float64))
+    err = np.abs(got - want) / np.maximum(np.abs(want), 1.0)
+    assert err.max() < 1e-3, err.max()
+
+  def test_digamma_stirling_vs_scipy(self):
+    x = np.concatenate(
+        [np.linspace(1e-3, 20, 997), np.logspace(1.5, 6, 200)]
+    ).astype(np.float32)
+    got = np.asarray(special.digamma_stirling(x))
+    want = scipy.special.digamma(x.astype(np.float64))
+    err = np.abs(got - want) / np.maximum(np.abs(want), 1.0)
+    assert err.max() < 1e-3, err.max()
+
   def test_nb_log_prob_vs_scipy(self):
     # My pmf: C(x + r - 1, x) * sigmoid(-l)^r * sigmoid(l)^x
     # == scipy.stats.nbinom(n=r, p=sigmoid(-l)).pmf(x).
