@@ -83,10 +83,9 @@ def run_experiment(
       batch_size=inference_config.get('batch_size'),
       ensemble_size=inference_config['num_particles'],
   )
-  if objective != 'vi':
-    for key in ('backend', 'precision'):
-      if key in inference_config:
-        fit_kwargs[key] = inference_config[key]
+  for key in ('backend', 'precision'):
+    if key in inference_config:
+      fit_kwargs[key] = inference_config[key]
   if objective == 'vi':
     fit_kwargs.update(
         kl_weight=inference_config.get('kl_weight', 1.0),
@@ -163,11 +162,11 @@ def main(argv=None):
   )
   parser.add_argument(
       '--backend', default=None, choices=['xla', 'pallas'],
-      help='Trainer backend (map/mle): pallas = fused TPU kernels.',
+      help='Trainer backend (all objectives): pallas = fused TPU kernels.',
   )
   parser.add_argument(
       '--precision', default=None, choices=['f32', 'bf16'],
-      help='Matmul precision (map/mle; xla backend only for bf16).',
+      help='Matmul precision (all objectives, both backends).',
   )
   args = parser.parse_args(argv)
 
