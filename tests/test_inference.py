@@ -271,13 +271,18 @@ class TestPallasBackend:
     assert np.all(np.isfinite(losses))
     assert losses[:, -1].mean() < losses[:, 0].mean()
 
-  def test_pallas_nb_likelihood(self):
-    config = _small_config(width=16, depth=1)
-    rng = np.random.default_rng(5)
-    t = np.arange(96, dtype=np.float32) % 50
-    s = rng.normal(size=96).astype(np.float32)
+  def _count_data(self, n=96, seed=5):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float32) % 50
+    s = rng.normal(size=n).astype(np.float32)
     x = np.stack([t, s], -1)
     y = rng.poisson(np.exp(0.5 * np.sin(t / 8) + 1.0)).astype(np.float32)
+    y[::9] = 0.0  # exercise the ZINB zero branch
+    return x, y
+
+  def test_pallas_nb_likelihood(self):
+    config = _small_config(width=16, depth=1)
+    x, y = self._count_data()
     params, losses = map_lib.ensemble_map(
         _aug(config, x), y, config, likelihoods.LikelihoodDist.NB,
         ensemble_size=2, learning_rate=0.01, num_epochs=15,
@@ -286,6 +291,29 @@ class TestPallasBackend:
     losses = np.asarray(losses)
     assert np.all(np.isfinite(losses))
     assert losses[:, -1].mean() < losses[:, 0].mean()
+
+  @pytest.mark.parametrize('dist', [
+      likelihoods.LikelihoodDist.NB, likelihoods.LikelihoodDist.ZINB,
+  ])
+  def test_count_matches_xla_backend(self, dist):
+    config = _small_config(width=16, depth=2)
+    x, y = self._count_data()
+    common = dict(
+        aug_features=_aug(config, x), target=y, config=config,
+        distribution=dist, ensemble_size=2,
+        learning_rate=0.01, num_epochs=8, seed=jax.random.PRNGKey(0),
+    )
+    p_x, l_x = map_lib.ensemble_map(backend='xla', **common)
+    p_p, l_p = map_lib.ensemble_map(backend='pallas', **common)
+    l_x, l_p = np.asarray(l_x), np.asarray(l_p)
+    # Same math/RNG; differences are matmul tiling plus the in-kernel
+    # Stirling gammaln/digamma vs jax.scipy's (<= ~3e-4 relative).
+    np.testing.assert_allclose(l_x[:, 0], l_p[:, 0], rtol=1e-3)
+    np.testing.assert_allclose(l_x, l_p, rtol=3e-3)
+    for a, b in zip(p_x, p_p):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-3
+      )
 
 
 class TestPallasVIBackend:
@@ -326,3 +354,18 @@ class TestPallasVIBackend:
     assert l_p.shape == (2, 6)
     np.testing.assert_allclose(l_x[:, 0], l_p[:, 0], rtol=1e-5)
     np.testing.assert_allclose(l_x, l_p, rtol=2e-3, atol=1e-3)
+
+  def test_vi_count_matches_xla_backend(self):
+    config = _small_config(width=16, depth=1)
+    rng = np.random.default_rng(7)
+    t = np.arange(96, dtype=np.float32) % 50
+    x = np.stack([t, rng.normal(size=96).astype(np.float32)], -1)
+    y = rng.poisson(np.exp(0.4 * np.sin(t / 8) + 1.0)).astype(np.float32)
+    y[::9] = 0.0
+    common = self._common(config, x, y)
+    common['observation_model'] = 'ZINB'
+    s_x, l_x, _ = vi_lib.fit_vi(backend='xla', **common)
+    s_p, l_p, _ = vi_lib.fit_vi(backend='pallas', **common)
+    l_x, l_p = np.asarray(l_x), np.asarray(l_p)
+    np.testing.assert_allclose(l_x[:, 0], l_p[:, 0], rtol=1e-3)
+    np.testing.assert_allclose(l_x, l_p, rtol=5e-3, atol=1e-3)
