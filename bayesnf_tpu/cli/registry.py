@@ -123,9 +123,30 @@ REGISTRY = {
     },
 }
 
+# The reference additionally ships a model-only M3Month stanza
+# (dataset_config.py:170-178) with no dataset columns or inference config
+# anywhere in its tree — it cannot be run through the CLI there either.
+# Carried for config parity: `model_config('M3Month', ...)` works;
+# `dataset_config`/`inference_config` raise KeyError like the reference's
+# DATASET_CONFIG['M3Month'] / get_inference_config would.
+_M3MONTH_MODEL = {
+    'width': 1024,
+    'depth': 2,
+    'seasonality_periods': np.asarray([12]),
+    'num_seasonal_harmonics': np.asarray([6]),
+    # No observation_model key, exactly as upstream (the estimator default,
+    # NORMAL, applies); no 'vi' stanza either.
+}
+REGISTRY['M3Month'] = {
+    'model': {'map': _M3MONTH_MODEL, 'mle': _M3MONTH_MODEL},
+    'inference': {},
+}
+
 # MLE shares MAP's model/inference configs; VI shares the MAP model unless
 # overridden (mirrors the reference's `ret[ds]['mle'] = ret[ds]['map']`).
 for _name, _cfg in REGISTRY.items():
+  if _name == 'M3Month':
+    continue
   _cfg['model'].setdefault('mle', _cfg['model']['map'])
   _cfg['model'].setdefault('vi', _cfg['model']['map'])
   _cfg['inference'].setdefault('mle', _cfg['inference']['map'])

@@ -67,14 +67,24 @@ def test_run_experiment_artifacts(tmp_path, objective):
 
 def test_registry_covers_reference_suite():
   assert sorted(registry.REGISTRY) == [
-      'air', 'air_quality', 'chickenpox', 'coprecip', 'sst', 'wind'
+      'M3Month', 'air', 'air_quality', 'chickenpox', 'coprecip', 'sst', 'wind'
   ]
   for name in registry.REGISTRY:
+    if name == 'M3Month':
+      continue  # model-only stanza, exactly as upstream (see registry.py)
     for objective in ('map', 'mle', 'vi'):
       model = registry.model_config(name, objective)
       assert model['observation_model'] == 'NORMAL'
       inference = registry.inference_config(name, objective)
       assert inference['num_particles'] >= 8
+  # M3Month: model configs for map/mle only, no dataset/inference entries
+  # (the reference's tree cannot run it either).
+  assert registry.model_config('M3Month', 'map')['width'] == 1024
+  assert registry.model_config('M3Month', 'mle')['width'] == 1024
+  with pytest.raises(KeyError):
+    registry.model_config('M3Month', 'vi')
+  with pytest.raises(KeyError):
+    registry.dataset_config('M3Month')
   # Spot checks against the published experiment table.
   assert registry.inference_config('sst', 'map')['batch_size'] == 221127
   assert registry.model_config('sst', 'map')['width'] == 768
