@@ -245,6 +245,112 @@ class BayesianNeuralFieldEstimator:
   def fit(self, table, seed, **kwargs):
     raise NotImplementedError('Should be implemented by subclass')
 
+  # -- Fitted-model persistence (serving) ------------------------------------
+  #
+  # `utils/checkpoint.py` persists *training* state (params + optimizer +
+  # RNG) for resumable fits; save/load here persist a *fitted* model —
+  # constructor configuration, train-time data statistics, and ensemble
+  # parameters — so a serving process can predict without refitting (the
+  # reference keeps `params_` only in memory).
+
+  def save(self, path: str) -> None:
+    """Persist this fitted estimator to `path` (.npz).
+
+    The artifact is self-describing: `load` reconstructs the estimator
+    class, constructor arguments, the data handler's train-time statistics
+    (z-score moments, time offset/scale), `params_`, and `losses_`.
+    """
+    import json
+
+    if self.params_ is None:
+      raise ValueError('Cannot save an unfitted estimator; call fit first.')
+    h = self.data_handler
+
+    def jsonable(v):
+      if isinstance(v, np.ndarray):
+        return v.tolist()
+      if isinstance(v, (list, tuple)):
+        return [jsonable(x) for x in v]
+      if isinstance(v, (np.integer,)):
+        return int(v)
+      if isinstance(v, (np.floating,)):
+        return float(v)
+      return v
+
+    spec = {
+        'format': 'bayesnf-tpu-estimator-v1',
+        'class': type(self).__name__,
+        'kwargs': {
+            'feature_cols': list(self.feature_cols),
+            'target_col': self.target_col,
+            'seasonality_periods': jsonable(self.seasonality_periods),
+            'num_seasonal_harmonics': jsonable(self.num_seasonal_harmonics),
+            'fourier_degrees': jsonable(self.fourier_degrees),
+            'interactions': jsonable(self.interactions),
+            'freq': self.freq,
+            'timetype': self.timetype,
+            'depth': int(self.depth),
+            'width': int(self.width),
+            'observation_model': self.observation_model,
+            'standardize': jsonable(self.standardize),
+        },
+        'handler': {
+            'mu': jsonable(h.mu_),
+            'std': jsonable(h.std_),
+            'time_min': jsonable(h.time_min_),
+            'time_scale': jsonable(h.time_scale_),
+        },
+        'num_params': len(self.params_),
+    }
+    arrays = {
+        f'param_{i}': np.asarray(p) for i, p in enumerate(self.params_)
+    }
+    if self.losses_ is not None:
+      arrays['losses'] = np.asarray(self.losses_)
+    # Write through a file object: np.savez(path) would append '.npz'.
+    with open(path, 'wb') as f:
+      np.savez(f, spec=np.asarray(json.dumps(spec)), **arrays)
+
+  @classmethod
+  def load(cls, path: str) -> 'BayesianNeuralFieldEstimator':
+    """Reconstruct a fitted estimator saved with :meth:`save`.
+
+    Callable from the base class (the saved artifact names its concrete
+    class) or from the matching subclass.
+    """
+    import json
+
+    with np.load(path, allow_pickle=False) as data:
+      spec = json.loads(str(data['spec']))
+      if spec.get('format') != 'bayesnf-tpu-estimator-v1':
+        raise ValueError(f'Not a bayesnf-tpu estimator artifact: {path}')
+      classes = {
+          c.__name__: c
+          for c in (
+              BayesianNeuralFieldMAP,
+              BayesianNeuralFieldMLE,
+              BayesianNeuralFieldVI,
+          )
+      }
+      target = classes[spec['class']]
+      if cls is not BayesianNeuralFieldEstimator and cls is not target:
+        raise ValueError(
+            f'{path} holds a {spec["class"]}; load it via that class or the '
+            'base BayesianNeuralFieldEstimator.'
+        )
+      model = target(**spec['kwargs'])
+      h = model.data_handler
+      hs = spec['handler']
+      h.mu_ = np.asarray(hs['mu'], dtype=float)
+      h.std_ = np.asarray(hs['std'], dtype=float)
+      h.time_min_ = hs['time_min']
+      h.time_scale_ = hs['time_scale']
+      model.params_ = tuple(
+          data[f'param_{i}'] for i in range(spec['num_params'])
+      )
+      model.losses_ = data['losses'] if 'losses' in data else None
+    return model
+
   def likelihood_model(self, table: pd.DataFrame):
     """Predictive distribution object over the target at new points.
 

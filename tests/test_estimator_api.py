@@ -6,6 +6,7 @@ import pandas as pd
 import jax
 import pytest
 
+from bayesnf_tpu import BayesianNeuralFieldEstimator
 from bayesnf_tpu import BayesianNeuralFieldMAP
 from bayesnf_tpu import BayesianNeuralFieldMLE
 from bayesnf_tpu import BayesianNeuralFieldVI
@@ -190,6 +191,58 @@ class TestEndToEnd:
     assert np.all(np.isfinite(lp))
     samples = np.asarray(dist.sample(jax.random.PRNGKey(1)))
     assert samples.shape == (1, 2, 50)
+
+  def test_save_load_roundtrip(self, tmp_path):
+    df = self._df(60)
+    m = BayesianNeuralFieldMAP(**self._kwargs())
+    m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=20)
+    want_means, want_q = m.predict(df, quantiles=(0.5, 0.9))
+    path = str(tmp_path / 'model.bnf')
+    m.save(path)
+
+    # Load via the matching class AND via the base class.
+    for loader in (BayesianNeuralFieldMAP, BayesianNeuralFieldEstimator):
+      m2 = loader.load(path)
+      assert type(m2) is BayesianNeuralFieldMAP
+      got_means, got_q = m2.predict(df, quantiles=(0.5, 0.9))
+      np.testing.assert_allclose(
+          np.asarray(got_means), np.asarray(want_means), rtol=1e-6)
+      for a, b in zip(got_q, want_q):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+      np.testing.assert_allclose(
+          np.asarray(m2.losses_), np.asarray(m.losses_))
+
+    # Wrong-class load errors clearly; unfitted save errors clearly.
+    with pytest.raises(ValueError, match='holds a BayesianNeuralFieldMAP'):
+      BayesianNeuralFieldVI.load(path)
+    with pytest.raises(ValueError, match='unfitted'):
+      BayesianNeuralFieldMAP(**self._kwargs()).save(str(tmp_path / 'x'))
+
+  def test_save_load_vi_with_index_time(self, tmp_path):
+    # VI (3 ensemble dims) + datetime/index time + freq: the handler's
+    # period offset and z-score stats must survive the roundtrip.
+    rng = np.random.default_rng(1)
+    n = 60
+    dates = pd.date_range('2018-01-01', periods=n, freq='W-MON')
+    lat = rng.normal(size=n)
+    y = np.sin(np.arange(n) / 5.0) * 3 + lat
+    df = pd.DataFrame({'time': dates, 'lat': lat, 'y': y})
+    m = BayesianNeuralFieldVI(
+        width=8, depth=1, seasonality_periods=['M'],
+        num_seasonal_harmonics=[2],
+        feature_cols=['time', 'lat'], target_col='y',
+        observation_model='NORMAL', timetype='index', freq='W',
+        standardize=['lat'],
+    )
+    m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=5,
+          sample_size_posterior=3, batch_size=None)
+    want, _ = m.predict(df, quantiles=(0.5,))
+    path = str(tmp_path / 'vi.bnf')
+    m.save(path)
+    m2 = BayesianNeuralFieldVI.load(path)
+    assert m2.data_handler.time_min_ == m.data_handler.time_min_
+    got, _ = m2.predict(df, quantiles=(0.5,))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
   def test_predict_without_target_column(self):
     df = self._df(50)
