@@ -199,8 +199,11 @@ def _probe_join(table, t_probe, r_probe, yhat, yhat_std):
   ])
   df_grid = pd.DataFrame(grid_cols)
   feature_cols = list(df_probe.columns[1:])
+  # m:1, not 1:1 — the probe table may legitimately repeat a (time, space)
+  # coordinate (duplicate sensor readings); each copy joins the single
+  # matching grid row. A duplicate on the GRID side would still raise.
   joined = pd.merge(
-      df_probe, df_grid, on=feature_cols, how='left', validate='1:1'
+      df_probe, df_grid, on=feature_cols, how='left', validate='m:1'
   )
   joined = joined.set_index('__index__')
   joined.index.name = None

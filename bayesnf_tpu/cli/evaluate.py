@@ -149,7 +149,7 @@ def main(argv=None):
   parser.add_argument('--output_dir', required=True)
   parser.add_argument('--data_root', required=True)
   parser.add_argument(
-      '--dataset', required=True, choices=sorted(registry.REGISTRY)
+      '--dataset', required=True, choices=registry.runnable_datasets()
   )
   parser.add_argument(
       '--objective', default='map', choices=['map', 'mle', 'vi']

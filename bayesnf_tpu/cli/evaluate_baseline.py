@@ -256,7 +256,7 @@ def main(argv=None):
   parser.add_argument('--data_root', required=True)
   parser.add_argument('--output_dir', required=True)
   parser.add_argument(
-      '--dataset', required=True, choices=sorted(registry.REGISTRY)
+      '--dataset', required=True, choices=registry.runnable_datasets()
   )
   parser.add_argument(
       '--algorithm', required=True, choices=sorted(METHODS),

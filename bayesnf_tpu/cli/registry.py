@@ -152,6 +152,11 @@ for _name, _cfg in REGISTRY.items():
   _cfg['inference'].setdefault('mle', _cfg['inference']['map'])
 
 
+def runnable_datasets():
+  """Dataset names the CLIs can actually run (have a data stanza)."""
+  return sorted(n for n, cfg in REGISTRY.items() if 'data' in cfg)
+
+
 def dataset_config(name):
   return REGISTRY[name]['data']
 

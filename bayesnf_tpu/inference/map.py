@@ -259,17 +259,9 @@ def _make_pallas_train_fn(
             precision=precision,
         )
     )
-    grads = [jnp.zeros_like(p) for p in params_b]
-    grads[field_lib.IDX_LOG_SCALE_ADJ] = dlsa
-    grads[field_lib.IDX_FEATURE_SCALES] = dfs
-    grads[field_lib.IDX_LOG_NOISE_SCALE] = dobs[:, 0]
-    grads[field_lib.IDX_NB_SHAPE_RAW] = dobs[:, 1]
-    grads[field_lib.IDX_ZINB_LOGIT] = dobs[:, 2]
-    grads[field_lib.IDX_LAYER_SCALES] = dscales
-    grads[field_lib.IDX_ACTIVATION_LOGIT] = dlogit
-    for l in range(num_w):
-      grads[field_lib.IDX_FIRST_DENSE + 2 * l] = dws[l]
-      grads[field_lib.IDX_FIRST_DENSE + 2 * l + 1] = dbs[l]
+    grads = field_lib.scatter_fused_train_grads(
+        config, dlsa, dfs, dws, dbs, dscales, dlogit, dobs
+    )
     if prior_weight != 0.0:
       prior_losses, prior_grads = jax.vmap(
           jax.value_and_grad(

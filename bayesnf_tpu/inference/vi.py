@@ -254,20 +254,12 @@ def _make_pallas_vi_fn(
 
     def bwd(res, g):
       dlsa, dfs, dws, dbs, dscales, dlogit, dobs = res
-      grads = [None] * len(field_lib.param_specs(config))
+      grads = field_lib.scatter_fused_train_grads(
+          config, dlsa, dfs, dws, dbs, dscales, dlogit, dobs
+      )
       def scaled(grad):
         return grad * g.reshape((-1,) + (1,) * (grad.ndim - 1))
-      grads[field_lib.IDX_LOG_NOISE_SCALE] = scaled(dobs[:, 0])
-      grads[field_lib.IDX_NB_SHAPE_RAW] = scaled(dobs[:, 1])
-      grads[field_lib.IDX_ZINB_LOGIT] = scaled(dobs[:, 2])
-      grads[field_lib.IDX_LOG_SCALE_ADJ] = scaled(dlsa)
-      grads[field_lib.IDX_FEATURE_SCALES] = scaled(dfs)
-      grads[field_lib.IDX_ACTIVATION_LOGIT] = scaled(dlogit)
-      grads[field_lib.IDX_LAYER_SCALES] = scaled(dscales)
-      for l in range(num_w):
-        grads[field_lib.IDX_FIRST_DENSE + 2 * l] = scaled(dws[l])
-        grads[field_lib.IDX_FIRST_DENSE + 2 * l + 1] = scaled(dbs[l])
-      return (tuple(grads),)
+      return (tuple(scaled(gr) for gr in grads),)
 
     kernel_nll.defvjp(fwd, bwd)
     return kernel_nll
@@ -463,6 +455,7 @@ def fit_vi(
             data_size=data_size,
             sample_size_divergence=int(sample_size_divergence),
             kl_weight=float(kl_weight),
+            precision=precision,
         ),
     )
     restored = checkpointer.restore_latest()

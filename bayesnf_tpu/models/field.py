@@ -134,6 +134,34 @@ IDX_LAYER_SCALES = 6
 IDX_FIRST_DENSE = 7  # kernels/biases follow: (W_0, b_0, ..., W_out, b_out)
 
 
+def scatter_fused_train_grads(
+    config: FieldConfig, dlsa, dfs, dws, dbs, dscales, dlogit, dobs
+) -> list:
+  """Map `ops.fused_mlp.fused_train` gradient outputs onto param slots.
+
+  The kernel returns (losses, dlsa, dfs, dweights, dbiases, dscales,
+  dlogit, dobs); this is the single place that couples that output order
+  to the flat parameter layout above (used by both the MAP and VI
+  trainers). `dobs` columns are (log_noise_scale, nb_shape_raw,
+  zinb_logit). Leaves not touched by the kernel come back as zeros shaped
+  like `param_specs` (with `dobs`'s leading batch dims).
+  """
+  num_w = config.depth + 1
+  grads = [None] * len(param_specs(config))
+  grads[IDX_LOG_NOISE_SCALE] = dobs[..., 0]
+  grads[IDX_NB_SHAPE_RAW] = dobs[..., 1]
+  grads[IDX_ZINB_LOGIT] = dobs[..., 2]
+  grads[IDX_LOG_SCALE_ADJ] = dlsa
+  grads[IDX_FEATURE_SCALES] = dfs
+  grads[IDX_ACTIVATION_LOGIT] = dlogit
+  grads[IDX_LAYER_SCALES] = dscales
+  for l in range(num_w):
+    grads[IDX_FIRST_DENSE + 2 * l] = dws[l]
+    grads[IDX_FIRST_DENSE + 2 * l + 1] = dbs[l]
+  assert all(g is not None for g in grads)
+  return grads
+
+
 def param_specs(config: FieldConfig) -> tuple[ParamSpec, ...]:
   """The authoritative flat parameter ordering for a field model.
 

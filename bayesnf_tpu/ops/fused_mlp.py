@@ -30,6 +30,7 @@ of the pure-JAX model (validated in tests/test_fused_mlp.py).
 
 import functools
 import math
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -274,14 +275,21 @@ def _compute_dtype(precision):
   return {'f32': None, 'bf16': jnp.bfloat16}[precision]
 
 
-def _named_kernel(fn, name):
+def _named_kernel(fn, name, *body_statics):
   """Wrap a kernel so its __name__ encodes parameters invisible to shapes.
 
   The compile cache keys Pallas programs by (name, shapes, specs); the
   compute dtype only changes the kernel *body* (in-kernel casts), so two
   precisions would otherwise collide and whichever compiled first would
-  silently serve both (observed on the v5e remote-compile path).
+  silently serve both (observed on the v5e remote-compile path). Any other
+  body-only static (lik_scale, valid-row count, fourier/interaction
+  arrangement, ...) has the same hazard — pass them as `body_statics` and
+  they are folded into the name as a hash.
   """
+  if body_statics:
+    digest = zlib.crc32(repr(body_statics).encode()) & 0xFFFFFFFF
+    name = f'{name}_{digest:08x}'
+
   def wrapper(*args, **kwargs):
     return fn(*args, **kwargs)
 
@@ -1272,6 +1280,9 @@ def fused_train(
           f'fused_train_{distribution.lower()}_raw'
           f'_{"xm" if x_t.ndim == 3 else "xs"}'
           f'{"ym" if y_per_member else "ys"}_{precision}',
+          # Body-only statics: same-shape calls with different values MUST
+          # NOT share a compiled kernel.
+          float(lik_scale), n, tuple(fourier_degrees), tuple(interactions),
       ),
       grid=grid,
       in_specs=in_specs + [

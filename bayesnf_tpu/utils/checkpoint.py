@@ -114,28 +114,33 @@ class TrainCheckpointer:
     if not _HAS_ORBAX:
       raise ImportError('orbax-checkpoint is required for checkpointing.')
     directory = os.path.abspath(directory)
-    if fingerprint is not None:
-      os.makedirs(directory, exist_ok=True)
-      meta_path = os.path.join(directory, 'fingerprint.json')
-      if os.path.exists(meta_path):
-        with open(meta_path) as f:
-          stored = json.load(f).get('fingerprint')
-        if stored != fingerprint:
-          raise ValueError(
-              f'Checkpoint directory {directory!r} was written by a run '
-              f'with a different configuration (stored fingerprint '
-              f'{stored}, this run {fingerprint}). Use a fresh directory, '
-              'or delete the stale checkpoints.'
-          )
-      else:
-        with open(meta_path, 'w') as f:
-          json.dump({'fingerprint': fingerprint}, f)
     self._manager = ocp.CheckpointManager(
         directory,
         options=ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep, create=True
         ),
     )
+    if fingerprint is not None:
+      meta_path = os.path.join(directory, 'fingerprint.json')
+      stored = None
+      if os.path.exists(meta_path):
+        with open(meta_path) as f:
+          stored = json.load(f).get('fingerprint')
+      if stored is not None and stored != fingerprint:
+        if self._manager.latest_step() is not None:
+          raise ValueError(
+              f'Checkpoint directory {directory!r} was written by a run '
+              f'with a different configuration (stored fingerprint '
+              f'{stored}, this run {fingerprint}). Use a fresh directory, '
+              'or delete the stale checkpoints.'
+          )
+        # A marker with zero saved steps is debris from a run that died
+        # before its first checkpoint — nothing to resume, claim the
+        # directory for this configuration instead of refusing.
+        stored = None
+      if stored is None:
+        with open(meta_path, 'w') as f:
+          json.dump({'fingerprint': fingerprint}, f)
 
   def save(self, state: TrainState):
     self._manager.save(

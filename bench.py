@@ -144,6 +144,7 @@ def main():
           sample_size_posterior=2,
           batch_size=None,
           mesh=mesh,
+          precision=precision,
           backend=backend,
       )
       return np.asarray(vi_losses)

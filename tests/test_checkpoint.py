@@ -82,6 +82,34 @@ def test_mismatched_config_checkpoint_raises(tmp_path):
     )
 
 
+def test_stale_fingerprint_without_checkpoints_is_reclaimed(tmp_path):
+  """A run that died before its first save must not block retries.
+
+  The fingerprint marker is written at checkpointer construction; if the
+  process then crashed with zero saved steps there is nothing to resume,
+  so a differently-configured retry claims the directory instead of
+  refusing.
+  """
+  from bayesnf_tpu.utils import checkpoint as ckpt_lib
+
+  config, aug, y = _setup()
+  ckdir = str(tmp_path / 'ck')
+  # Simulate the crashed first run: construct (writes fingerprint.json),
+  # save nothing.
+  ckpt_lib.TrainCheckpointer(ckdir, fingerprint='dead-run').close()
+  # Retry with a different configuration: must run, not raise.
+  p, l = _run(config, aug, y, checkpoint_dir=ckdir, checkpoint_every=7)
+  assert np.all(np.isfinite(np.asarray(l)))
+  # Once real checkpoints exist, a mismatched config still refuses.
+  with pytest.raises(ValueError, match='different configuration'):
+    map_lib.ensemble_map(
+        aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=2, learning_rate=0.02, num_epochs=20,
+        seed=jax.random.PRNGKey(0), batch_size=20,
+        checkpoint_dir=ckdir, checkpoint_every=7,
+    )
+
+
 def test_completed_run_reinvocation_is_noop(tmp_path):
   config, aug, y = _setup()
   ckdir = str(tmp_path / 'ck')

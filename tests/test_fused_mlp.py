@@ -368,6 +368,25 @@ class TestFusedTrain:
       np.testing.assert_allclose(
           np.asarray(got), want, rtol=2e-2, atol=2e-2 * scale, err_msg=name)
 
+  def test_kernel_name_encodes_body_statics(self):
+    """Same-shape calls with different body-only statics must not share a
+    compiled kernel: the name folds in lik_scale / n_valid / encode layout
+    (the Pallas compile cache keys by (name, shapes, specs))."""
+    base = ('fused', 1.75, 70, (3, 2, 0), ((0, 1),))
+    names = set()
+    for statics in [
+        base,
+        ('fused', 2.0, 70, (3, 2, 0), ((0, 1),)),     # lik_scale
+        ('fused', 1.75, 64, (3, 2, 0), ((0, 1),)),    # n_valid
+        ('fused', 1.75, 70, (2, 3, 0), ((0, 1),)),    # fourier arrangement
+        ('fused', 1.75, 70, (3, 2, 0), ((1, 2),)),    # interactions
+    ]:
+      names.add(fused_mlp._named_kernel(lambda: None, *statics).__name__)
+    assert len(names) == 5, names
+    # Deterministic across processes (a stable digest, not id()-based).
+    again = fused_mlp._named_kernel(lambda: None, *base).__name__
+    assert again in names
+
   def test_no_seasonal_no_interactions(self):
     config, params, x_t, seas, y, likelihoods = self._setup(
         interactions=(), seasonal=False)
