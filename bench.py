@@ -34,9 +34,11 @@ def main():
   from bayesnf_tpu.parallel import mesh as mesh_lib
 
   small = bool(int(os.environ.get('BENCH_SMALL', '0')))
-  # bf16 MXU operands by default on TPU (measured fastest; gradients are
-  # oracle-tested at bf16 tolerance in tests/test_fused_mlp.py). f32 keeps
-  # the interpreter path exact off-TPU.
+  # On TPU, JAX's default matmul precision already feeds the MXU bf16
+  # operands (f32 accumulation) for f32 dots — verified bit-identical
+  # on-device — so the bf16 label documents what actually executes rather
+  # than selecting anything different there. f32 keeps the interpreter
+  # path exact off-TPU.
   precision = os.environ.get('BENCH_PRECISION') or (
       'bf16' if jax.default_backend() == 'tpu' else 'f32'
   )
