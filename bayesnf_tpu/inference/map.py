@@ -67,7 +67,9 @@ def _make_train_fn(
   """
   optimizer = optax.adam(learning_rate)
   num_batches = data_size // batch_size
-  compute_dtype = {'f32': None, 'bf16': jnp.bfloat16}[precision]
+  compute_dtype = {
+      'f32': None, 'bf16': jnp.bfloat16, 'highest': 'highest'
+  }[precision]
   d = config.num_inputs
   lik_scale = data_size / batch_size
   num_chunks = max(1, -(-batch_size // grad_row_chunk))
@@ -374,8 +376,10 @@ def ensemble_map(
       the run bit-exactly.
     checkpoint_every: epochs per checkpoint chunk (default: 10% of
       num_epochs, at least 1).
-    precision: 'f32' (reference-exact) or 'bf16' (bf16 MXU operands with
-      f32 parameters and accumulation).
+    precision: 'f32' (default; on TPU the MXU already computes f32 dots
+      with bf16 operands), 'bf16' (explicit bf16 MXU operands, f32
+      parameters and accumulation), or 'highest' (multi-pass true-f32
+      MXU arithmetic, ~2-3x slower matmuls).
     backend: 'xla' (default) or 'pallas' (fused Pallas MLP kernels via
       shard_map over the 'ens' axis; requires data axis 1).
 

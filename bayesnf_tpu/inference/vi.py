@@ -81,14 +81,20 @@ def _make_vi_fn(
     sample_size: int,
     kl_weight: float,
     mesh,
+    precision: str = 'f32',
 ):
   """Build the jitted ensemble-VI program for one static config."""
   optimizer = optax.adam(learning_rate)
   d = config.num_inputs
+  compute_dtype = {
+      'f32': None, 'bf16': jnp.bfloat16, 'highest': 'highest'
+  }[precision]
 
   def unnormalized_target(z, aug_bt, y_b):
     # Features-major layout (rows on the TPU lane axis), as in the MAP path.
-    pred = field_lib.apply_field_t(config, z, aug_bt[:d], aug_bt[d:])
+    pred = field_lib.apply_field_t(
+        config, z, aug_bt[:d], aug_bt[d:], compute_dtype=compute_dtype
+    )
     loglik = likelihoods.log_likelihood(distribution, z, pred, y_b)
     return priors.prior_log_prob(config, z) + (
         loglik * (data_size / batch_size) / kl_weight
@@ -405,8 +411,9 @@ def fit_vi(
     checkpoint_dir: when set, optimization runs in `checkpoint_every`-step
       chunks persisted via orbax; an existing checkpoint resumes bit-exactly.
     checkpoint_every: steps per checkpoint chunk (default: 10% of steps).
-    precision: 'f32' (default) or 'bf16' (bf16 MXU operands, f32
-      accumulation).
+    precision: 'f32' (default; on TPU the MXU already computes f32 dots
+      with bf16 operands), 'bf16' (explicit bf16 MXU operands, f32
+      accumulation), or 'highest' (multi-pass true-f32 MXU arithmetic).
     backend: 'xla' (default) or 'pallas' (fused Pallas MLP kernels with the
       MC-sample axis folded into the kernel member axis; data axis must
       be 1).
@@ -499,6 +506,7 @@ def fit_vi(
         int(sample_size_divergence),
         float(kl_weight),
         mesh,
+        precision,
     )
 
   step = start_step

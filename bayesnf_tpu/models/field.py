@@ -308,22 +308,31 @@ def apply_field(
   None))`; XLA lowers the per-member matmuls to one batched MXU matmul.
 
   Args:
-    compute_dtype: optional matmul input dtype (e.g. `jnp.bfloat16` for
-      mixed precision). Parameters stay f32 and every dot accumulates in
-      f32 (`preferred_element_type`); only the MXU operand precision drops.
-      None (default) keeps full f32 — bit-compatible with the reference.
+    compute_dtype: optional matmul operand precision: `jnp.bfloat16` for
+      explicit bf16 MXU operands, or the string 'highest' for multi-pass
+      true-f32 MXU arithmetic (note the TPU default already truncates f32
+      dot operands to bf16, so None and jnp.bfloat16 coincide numerically
+      there). Parameters stay f32 and every dot accumulates in f32
+      (`preferred_element_type`). None (default) matches the reference's
+      numerics on the same backend.
   """
   h = encode(config, params, x, seasonal)
 
   layer_scales = jax.nn.softplus(params[IDX_LAYER_SCALES])
   activation_logit = params[IDX_ACTIVATION_LOGIT]
 
-  if compute_dtype is not None and compute_dtype != jnp.bfloat16:
+  if compute_dtype not in (None, jnp.bfloat16, 'highest'):
     raise ValueError(f'Unsupported compute_dtype: {compute_dtype}')
 
   from bayesnf_tpu.ops import mixed
 
   def dense(h, kernel, bias):
+    if compute_dtype == 'highest':
+      # Precision propagates to the transposed backward dots.
+      return jnp.dot(
+          h, kernel, precision=jax.lax.Precision.HIGHEST,
+          preferred_element_type=jnp.float32,
+      ) + bias
     if compute_dtype is not None:
       # Custom-VJP matmul: forward AND backward run bf16 on the MXU
       # (a plain cast only accelerates the forward; see ops/mixed.py).
@@ -433,6 +442,11 @@ def apply_field_t(
 
   def dense_t(h, kernel, bias):
     # (width, fan_in) @ (fan_in, N); the kernel transpose is tiny.
+    if compute_dtype == 'highest':
+      return jnp.dot(
+          kernel.T, h, precision=jax.lax.Precision.HIGHEST,
+          preferred_element_type=jnp.float32,
+      ) + bias[:, None]
     if compute_dtype is not None:
       return mixed.matmul_bf16(kernel.T, h) + bias[:, None]
     return mixed.matmul_f32(kernel.T, h) + bias[:, None]

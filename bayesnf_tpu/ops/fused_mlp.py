@@ -85,6 +85,13 @@ def _mm(a, b, compute_dtype):
   # Dots whose result has a size-1 minor dim stay f32: Mosaic lowers them
   # via a multiply+reduce whose bf16->f32 vector.broadcast fails to verify
   # (and they are tiny VPU ops with no MXU upside anyway).
+  # compute_dtype 'highest' selects multi-pass true-f32 MXU arithmetic
+  # (the TPU default already truncates f32 dot operands to bf16).
+  if compute_dtype == 'highest':
+    return jnp.dot(
+        a, b, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
   if compute_dtype is not None and b.shape[-1] > 1:
     a = a.astype(compute_dtype)
     b = b.astype(compute_dtype)
@@ -272,7 +279,9 @@ def _specs_common(depth, tile, e, f, widths):
 
 
 def _compute_dtype(precision):
-  return {'f32': None, 'bf16': jnp.bfloat16}[precision]
+  # 'highest' passes through as a sentinel interpreted by _mm/_mm_t
+  # (Precision.HIGHEST multi-pass f32 arithmetic on the MXU).
+  return {'f32': None, 'bf16': jnp.bfloat16, 'highest': 'highest'}[precision]
 
 
 def _named_kernel(fn, name, *body_statics):
@@ -433,6 +442,13 @@ def _mm_t(a, b, contract, compute_dtype):
   # Result minor dim = b's first non-contracted dim. Size-1 results stay
   # f32: Mosaic's multiply+reduce lowering for them trips a bf16->f32
   # vector.broadcast verification failure, and they are tiny VPU ops.
+  # compute_dtype 'highest' selects multi-pass true-f32 MXU arithmetic
+  # (the TPU default already truncates f32 dot operands to bf16).
+  if compute_dtype == 'highest':
+    return jax.lax.dot_general(
+        a, b, (contract, ((), ())), precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
   (b_c,) = contract[1]
   b_free = b.shape[1 - b_c]
   if compute_dtype is not None and b_free > 1:
@@ -1162,8 +1178,9 @@ def fused_train(
     obs_raw: (E, 3) observation scalars per member:
       (log_noise_scale, nb_shape_raw, zinb_logit).
     y: (N,) shared targets or (E, N) per-member targets.
-    precision: 'f32' or 'bf16' (bf16 MXU operands, f32 accumulation; the
-      encode, likelihood, and all size-1-minor dots stay f32).
+    precision: 'f32', 'bf16' (bf16 MXU operands, f32 accumulation; the
+      encode, likelihood, and all size-1-minor dots stay f32), or
+      'highest' (multi-pass true-f32 MXU arithmetic).
 
   Returns:
     (losses, dlsa, dfs_raw, dweights, dbiases, dscales_raw, dlogit,
@@ -1291,7 +1308,12 @@ def fused_train(
       ],
       out_specs=out_specs,
       out_shape=out_shapes,
-      compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+      # Precision.HIGHEST multi-pass dots need extra VMEM scratch (the
+      # compiler splits operands into bf16 passes); 64M OOMs at width 512
+      # x tile 2048 under 'highest'.
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=(100 if precision == 'highest' else 64) * 2**20
+      ),
       interpret=_interpret(),
   )(
       *inputs,

@@ -528,7 +528,9 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
       checkpoint_dir: when set, VI optimization checkpoints periodically and
         an interrupted fit resumes bit-exactly.
       checkpoint_every: steps between checkpoints (default steps//10).
-      precision: 'f32' (default) or 'bf16' (mixed-precision matmuls).
+      precision: 'f32' (default), 'bf16' (explicit bf16 MXU operands), or
+        'highest' (multi-pass true-f32 MXU arithmetic; note the TPU
+        default already computes f32 dots with bf16 operands).
       backend: 'xla' (default) or 'pallas' (fused Pallas MLP kernels).
 
     Returns:

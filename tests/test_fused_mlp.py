@@ -368,6 +368,26 @@ class TestFusedTrain:
       np.testing.assert_allclose(
           np.asarray(got), want, rtol=2e-2, atol=2e-2 * scale, err_msg=name)
 
+  def test_highest_matches_f32_oracle(self):
+    """precision='highest' (multi-pass true-f32 MXU dots on TPU) matches
+    the f32 oracle at f32 tolerances; in interpret mode the dots are
+    already true f32, so agreement is near-exact."""
+    config, params, x_t, seas, y, likelihoods = self._setup()
+    lik_scale = 1.75
+    losses, pairs = self._run_fused(
+        'NORMAL', config, params, x_t, seas, y, lik_scale,
+        precision='highest')
+    want_losses, want_grads = self._oracle(
+        'NORMAL', config, params, x_t, seas, y, likelihoods, lik_scale)
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(want_losses), rtol=2e-4)
+    for name, (got, idx) in pairs.items():
+      if name in self._UNUSED_OBS['NORMAL']:
+        continue
+      np.testing.assert_allclose(
+          np.asarray(got), np.asarray(want_grads[idx]), rtol=2e-4,
+          atol=2e-5, err_msg=name)
+
   def test_kernel_name_encodes_body_statics(self):
     """Same-shape calls with different body-only statics must not share a
     compiled kernel: the name folds in lik_scale / n_valid / encode layout
