@@ -170,6 +170,14 @@ class TestEndToEnd:
     m.fit(df, seed=3, ensemble_size=2, num_epochs=5)
     assert m.params_[0].shape == (1, 2)
 
+  @pytest.mark.parametrize('precision', ['bf16', 'highest'])
+  def test_precision_plumbs_through_fit(self, precision):
+    df = self._df(60)
+    m = BayesianNeuralFieldMAP(**self._kwargs())
+    m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=5,
+          precision=precision)
+    assert np.all(np.isfinite(np.asarray(m.losses_)))
+
   def test_vi_shapes(self):
     df = self._df(60)
     m = BayesianNeuralFieldVI(**self._kwargs())
