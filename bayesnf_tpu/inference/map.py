@@ -55,8 +55,10 @@ def _make_train_fn(
 ):
   """Build the jitted ensemble training program for one static config.
 
-  `precision`: 'f32' (default, reference-exact) or 'bf16' (mixed precision:
-  bf16 MXU operands, f32 accumulation and parameters).
+  `precision`: 'f32' (default; on TPU the MXU already computes f32 dots
+  with bf16 operands), 'bf16' (explicit bf16 MXU operands, f32
+  accumulation and parameters), or 'highest' (multi-pass true-f32 MXU
+  arithmetic).
 
   `grad_row_chunk`: rows per gradient-accumulation chunk. Each SGD step
   computes its gradient by scanning over row chunks and summing — exact

@@ -328,11 +328,8 @@ def apply_field(
 
   def dense(h, kernel, bias):
     if compute_dtype == 'highest':
-      # Precision propagates to the transposed backward dots.
-      return jnp.dot(
-          h, kernel, precision=jax.lax.Precision.HIGHEST,
-          preferred_element_type=jnp.float32,
-      ) + bias
+      # Multi-pass true-f32 dots, fusion-fenced like the other paths.
+      return mixed.matmul_highest(h, kernel) + bias
     if compute_dtype is not None:
       # Custom-VJP matmul: forward AND backward run bf16 on the MXU
       # (a plain cast only accelerates the forward; see ops/mixed.py).
@@ -443,10 +440,7 @@ def apply_field_t(
   def dense_t(h, kernel, bias):
     # (width, fan_in) @ (fan_in, N); the kernel transpose is tiny.
     if compute_dtype == 'highest':
-      return jnp.dot(
-          kernel.T, h, precision=jax.lax.Precision.HIGHEST,
-          preferred_element_type=jnp.float32,
-      ) + bias[:, None]
+      return mixed.matmul_highest(kernel.T, h) + bias[:, None]
     if compute_dtype is not None:
       return mixed.matmul_bf16(kernel.T, h) + bias[:, None]
     return mixed.matmul_f32(kernel.T, h) + bias[:, None]

@@ -1,15 +1,25 @@
-"""Mixed-precision matmul with a fully-bf16 backward.
+"""Precision-controlled matmuls with fusion-fenced backwards.
 
-On TPU v5e, f32 matmuls run ~5x slower than bf16 (multi-pass emulation on
-the MXU). Naively casting forward operands to bf16 only accelerates the
-forward: autodiff's backward matmuls pair a bf16 residual with an f32
-cotangent, and XLA upcasts such mixed dots back to the slow f32 path —
-measured: bf16-forward-only is *slower* than pure f32 end-to-end.
+Three tiers (all f32-accumulating via `preferred_element_type`):
 
-`matmul_bf16` therefore carries a custom VJP that casts the cotangent to
-bf16 so all three matmuls (forward, d_lhs, d_rhs) execute as
-bf16 x bf16 -> f32-accumulate. Residuals are stored in bf16, halving
-activation memory traffic as a side effect.
+- `matmul_f32`: plain dots. NOTE (verified on-device): under JAX's TPU
+  default matmul precision these already execute with bf16 MXU operands —
+  bit-identical to `matmul_bf16` there — so on TPU this is a labeling
+  default, not a slower path.
+- `matmul_bf16`: EXPLICIT bf16 operand casts, forward and backward (the
+  custom VJP casts the cotangent too, so all three dots are uniformly
+  bf16 on any stack, and residuals are stored in bf16 — halving
+  activation memory traffic). Meaningful on backends whose default dot
+  precision is true f32 (e.g. CPU), and self-documenting on TPU.
+- `matmul_highest`: `Precision.HIGHEST` multi-pass true-f32 MXU
+  arithmetic on all three dots — the only way to get tighter-than-bf16
+  operands on TPU.
+
+All tiers fence their backward dots with `optimization_barrier`:
+profiling the v5e training step showed XLA fusing the weight-gradient
+contraction (dW = h^T dz, a huge-N outer-product reduction) into its
+elementwise producer chain as a VPU multiply+reduce ~7x slower than the
+same contraction as a standalone MXU dot.
 """
 
 import jax
@@ -72,3 +82,42 @@ def _f32_bwd(res, g):
 
 
 matmul_f32.defvjp(_f32_fwd, _f32_bwd)
+
+
+@jax.custom_vjp
+def matmul_highest(a, b):
+  """a @ b with Precision.HIGHEST (multi-pass true-f32 MXU arithmetic).
+
+  Same fusion fence on the backward dots as `matmul_f32` — without it XLA
+  can fuse the weight-gradient contraction into its elementwise producer
+  chain as a slow VPU multiply+reduce.
+  """
+  return jnp.dot(
+      a, b, precision=jax.lax.Precision.HIGHEST,
+      preferred_element_type=jnp.float32,
+  )
+
+
+def _hi_fwd(a, b):
+  out = jnp.dot(
+      a, b, precision=jax.lax.Precision.HIGHEST,
+      preferred_element_type=jnp.float32,
+  )
+  return out, (a, b)
+
+
+def _hi_bwd(res, g):
+  a, b = res
+  a, b, g = jax.lax.optimization_barrier((a, b, g))
+  da = jnp.dot(
+      g, b.T, precision=jax.lax.Precision.HIGHEST,
+      preferred_element_type=jnp.float32,
+  )
+  db = jnp.dot(
+      a.T, g, precision=jax.lax.Precision.HIGHEST,
+      preferred_element_type=jnp.float32,
+  )
+  return da, db
+
+
+matmul_highest.defvjp(_hi_fwd, _hi_bwd)

@@ -120,14 +120,13 @@ class TrainCheckpointer:
             max_to_keep=max_to_keep, create=True
         ),
     )
+    self._fingerprint = fingerprint
+    self._meta_path = os.path.join(directory, 'fingerprint.json')
     if fingerprint is not None:
-      meta_path = os.path.join(directory, 'fingerprint.json')
-      stored = None
-      if os.path.exists(meta_path):
-        with open(meta_path) as f:
-          stored = json.load(f).get('fingerprint')
+      stored = self._read_marker()
       if stored is not None and stored != fingerprint:
         if self._manager.latest_step() is not None:
+          self._manager.close()
           raise ValueError(
               f'Checkpoint directory {directory!r} was written by a run '
               f'with a different configuration (stored fingerprint '
@@ -136,13 +135,30 @@ class TrainCheckpointer:
           )
         # A marker with zero saved steps is debris from a run that died
         # before its first checkpoint — nothing to resume, claim the
-        # directory for this configuration instead of refusing.
+        # directory for this configuration instead of refusing. (If the
+        # marker's writer is in fact still alive and pre-first-save, the
+        # save-time re-check below makes ITS first save fail loudly
+        # rather than letting two runs interleave.)
         stored = None
       if stored is None:
-        with open(meta_path, 'w') as f:
+        with open(self._meta_path, 'w') as f:
           json.dump({'fingerprint': fingerprint}, f)
 
+  def _read_marker(self):
+    if not os.path.exists(self._meta_path):
+      return None
+    with open(self._meta_path) as f:
+      return json.load(f).get('fingerprint')
+
   def save(self, state: TrainState):
+    if self._fingerprint is not None:
+      stored = self._read_marker()
+      if stored != self._fingerprint:
+        raise ValueError(
+            'Checkpoint directory was claimed by a different run since '
+            f'this one started (marker fingerprint {stored}, this run '
+            f'{self._fingerprint}); refusing to interleave saves.'
+        )
     self._manager.save(
         state.epoch, args=ocp.args.StandardSave(state.to_pytree())
     )

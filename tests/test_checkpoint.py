@@ -110,6 +110,32 @@ def test_stale_fingerprint_without_checkpoints_is_reclaimed(tmp_path):
     )
 
 
+def test_reclaimed_directory_fails_the_original_runs_save(tmp_path):
+  """If run B reclaims a zero-step directory, run A's first save refuses.
+
+  Closes the race in the stale-marker reclaim: A (pre-first-save) and B
+  cannot interleave checkpoints — whoever saves after losing the marker
+  gets a loud error instead of silently mixing runs.
+  """
+  from bayesnf_tpu.utils import checkpoint as ckpt_lib
+
+  ckdir = str(tmp_path / 'ck')
+  a = ckpt_lib.TrainCheckpointer(ckdir, fingerprint='run-a')
+  b = ckpt_lib.TrainCheckpointer(ckdir, fingerprint='run-b')  # reclaims
+  state = ckpt_lib.TrainState(
+      params=(np.zeros((1, 2), np.float32),),
+      opt_leaves=[np.zeros((1, 2), np.float32)],
+      keys=np.zeros((1, 2), np.uint32),
+      losses=[np.zeros((1, 1), np.float32)],
+      epoch=1,
+  )
+  with pytest.raises(ValueError, match='claimed by a different run'):
+    a.save(state)
+  b.save(state)  # the claimant saves fine
+  b.close()
+  a.close()
+
+
 def test_completed_run_reinvocation_is_noop(tmp_path):
   config, aug, y = _setup()
   ckdir = str(tmp_path / 'ck')
