@@ -19,6 +19,7 @@ TPU kernels for the fused hot paths.
 
 __version__ = '0.1.0'
 
+from bayesnf_tpu import metrics
 from bayesnf_tpu.spatiotemporal import BayesianNeuralFieldEstimator
 from bayesnf_tpu.spatiotemporal import BayesianNeuralFieldMAP
 from bayesnf_tpu.spatiotemporal import BayesianNeuralFieldMLE
@@ -29,5 +30,6 @@ __all__ = [
     'BayesianNeuralFieldMAP',
     'BayesianNeuralFieldMLE',
     'BayesianNeuralFieldVI',
+    'metrics',
     '__version__',
 ]

@@ -165,7 +165,7 @@ def main(argv=None):
       help='Trainer backend (all objectives): pallas = fused TPU kernels.',
   )
   parser.add_argument(
-      '--precision', default=None, choices=['f32', 'bf16'],
+      '--precision', default=None, choices=['f32', 'bf16', 'highest'],
       help='Matmul precision (all objectives, both backends).',
   )
   args = parser.parse_args(argv)
