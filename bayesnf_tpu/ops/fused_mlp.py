@@ -181,7 +181,8 @@ def _backward_kernel(depth, rsqrts, compute_dtype, h0_ref, *refs):
     dact_dz, dact_dw = _act_grad(zs[l], w)
     dlogit_acc = dlogit_acc + jnp.sum(dh * dact_dw)
     dz = dh * dact_dz
-    ds[l] = jnp.sum(dz * (zs[l] / s[l]))
+    # Scalar division hoisted out of the (tile, width) elementwise pass.
+    ds[l] = jnp.sum(dz * zs[l]) / s[l]
     dv = dz * s[l]
     dws[l] = _mm(hs[l].T, dv, compute_dtype)
     dbs[l] = jnp.sum(dv, axis=0)
@@ -551,7 +552,8 @@ def _backward_kernel_t(
     dact_dz, dact_dw = _act_grad(zs[l], w)
     dlogit_acc = dlogit_acc + jnp.sum(dh * dact_dw)
     dz = dh * dact_dz
-    ds[l] = jnp.sum(dz * (zs[l] / s[l]))
+    # Scalar division hoisted out of the (width, tile) elementwise pass.
+    ds[l] = jnp.sum(dz * zs[l]) / s[l]
     dv = dz * s[l]  # (fan_out, tile)
     dws[l] = _mm_t(hs[l], dv, ((1,), (1,)), compute_dtype)
     dbs[l] = jnp.sum(dv, axis=1, keepdims=True)
@@ -1017,10 +1019,17 @@ def _likelihood_tile(distribution, pred, y, mask, obs0, obs1, obs2, lik_scale):
 
 
 def _train_kernel_raw(
-    depth, rsqrts, n_valid, tile, lik_scale, fourier_degrees,
+    depth, rsqrts, n_valid, tile, subtiles, lik_scale, fourier_degrees,
     interactions, has_seasonal, compute_dtype, distribution, *refs
 ):
-  """One (member, row-tile) cell: encode + forward + loss + backward."""
+  """One (member, row-tile) cell: encode + forward + loss + backward.
+
+  `subtiles` > 1 splits the row tile into independent column chunks whose
+  compute chains only join at the final scalar/weight-gradient sums —
+  giving the Mosaic/LLO scheduler freedom to overlap one chunk's VPU
+  phases (encode trig, activation blend, likelihood) with another's MXU
+  matmuls. Numerics are unchanged up to sum reassociation.
+  """
   x_ref = refs[0]
   refs = refs[1:]
   if has_seasonal:
@@ -1047,103 +1056,140 @@ def _train_kernel_raw(
   ds_raw = jax.nn.sigmoid(raw_s)
   w = jax.nn.sigmoid(logit_ref[0, 0, 0])
 
-  # --- Encode (saving the octave chains for the backward).
-  h, enc_res = _encode_in_kernel(
-      fourier_degrees,
-      interactions,
-      x_ref[0],
-      seasonal_ref[0] if has_seasonal else None,
-      lsa_ref[0],
-      fs_ref[0],
-  )
+  st = tile // subtiles
 
-  # --- Forward, saving matmul inputs and pre-activations (all VMEM-local).
-  hs, zs = [], []
-  for l in range(depth):
-    lhs = h * rsqrts[l]
-    z = s[l] * (
-        _mm_t(w_refs[l][0], lhs, ((0,), (0,)), compute_dtype) + b_refs[l][0]
+  def compute(x_sub, seasonal_sub, y_sub, base):
+    """Encode + forward + loss + backward for one column chunk."""
+    # --- Encode (saving the octave chains for the backward).
+    h, enc_res = _encode_in_kernel(
+        fourier_degrees, interactions, x_sub, seasonal_sub,
+        lsa_ref[0], fs_ref[0],
     )
-    hs.append(lhs)
-    zs.append(z)
-    h = _act(z, w)
-  lhs_out = h * rsqrts[depth]
-  v_out = (
-      _mm_t(w_refs[depth][0], lhs_out, ((0,), (0,)), compute_dtype)
-      + b_refs[depth][0]
-  )
-  pred = s[depth] * v_out  # (1, tile)
 
-  # --- Observation-model loss over the valid rows of this tile.
-  # mask zeroes both the padded tail and its gradient contributions.
-  mask = (
-      jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) < n_valid - t * tile
-  ).astype(jnp.float32)
-  loss_tile, g, dobs_tile = _likelihood_tile(
-      distribution, pred, y_ref[0], mask,
-      obs_ref[0, 0, 0], obs_ref[0, 1, 0], obs_ref[0, 2, 0], lik_scale,
-  )
+    # --- Forward, saving matmul inputs and pre-activations (VMEM-local).
+    hs, zs = [], []
+    for l in range(depth):
+      lhs = h * rsqrts[l]
+      z = s[l] * (
+          _mm_t(w_refs[l][0], lhs, ((0,), (0,)), compute_dtype) + b_refs[l][0]
+      )
+      hs.append(lhs)
+      zs.append(z)
+      h = _act(z, w)
+    lhs_out = h * rsqrts[depth]
+    v_out = (
+        _mm_t(w_refs[depth][0], lhs_out, ((0,), (0,)), compute_dtype)
+        + b_refs[depth][0]
+    )
+    pred = s[depth] * v_out  # (1, st)
 
-  # --- Backward from the loss' pred-cotangent, using saved activations.
-  ds = [jnp.zeros((), jnp.float32)] * (depth + 1)
-  dlogit_acc = jnp.zeros((), jnp.float32)
+    # --- Observation-model loss over the valid rows of this chunk.
+    # mask zeroes both the padded tail and its gradient contributions.
+    mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, st), 1)
+        < n_valid - t * tile - base
+    ).astype(jnp.float32)
+    loss_tile, g, dobs_tile = _likelihood_tile(
+        distribution, pred, y_sub, mask,
+        obs_ref[0, 0, 0], obs_ref[0, 1, 0], obs_ref[0, 2, 0], lik_scale,
+    )
 
-  ds[depth] = jnp.sum(g * v_out)
-  dv = g * s[depth]
-  dws = [None] * (depth + 1)
-  dbs = [None] * (depth + 1)
-  dws[depth] = _mm_t(lhs_out, dv, ((1,), (1,)), compute_dtype)
-  dbs[depth] = jnp.sum(dv, axis=1, keepdims=True)
-  dh = _mm_t(w_refs[depth][0], dv, ((1,), (0,)), compute_dtype) * rsqrts[depth]
+    # --- Backward from the loss' pred-cotangent, using saved activations.
+    ds = [jnp.zeros((), jnp.float32)] * (depth + 1)
+    dlogit_acc = jnp.zeros((), jnp.float32)
 
-  for l in reversed(range(depth)):
-    dact_dz, dact_dw = _act_grad(zs[l], w)
-    dlogit_acc = dlogit_acc + jnp.sum(dh * dact_dw)
-    dz = dh * dact_dz
-    ds[l] = jnp.sum(dz * (zs[l] / s[l]))
-    dv = dz * s[l]
-    dws[l] = _mm_t(hs[l], dv, ((1,), (1,)), compute_dtype)
-    dbs[l] = jnp.sum(dv, axis=1, keepdims=True)
-    dh = _mm_t(w_refs[l][0], dv, ((1,), (0,)), compute_dtype) * rsqrts[l]
+    ds[depth] = jnp.sum(g * v_out)
+    dv = g * s[depth]
+    dws = [None] * (depth + 1)
+    dbs = [None] * (depth + 1)
+    dws[depth] = _mm_t(lhs_out, dv, ((1,), (1,)), compute_dtype)
+    dbs[depth] = jnp.sum(dv, axis=1, keepdims=True)
+    dh = (
+        _mm_t(w_refs[depth][0], dv, ((1,), (0,)), compute_dtype)
+        * rsqrts[depth]
+    )
 
-  dlsa_tile, dfs_tile = _encode_backward_in_kernel(
-      fourier_degrees, interactions, dh, enc_res, fs_ref[0]
-  )
+    for l in reversed(range(depth)):
+      dact_dz, dact_dw = _act_grad(zs[l], w)
+      dlogit_acc = dlogit_acc + jnp.sum(dh * dact_dw)
+      dz = dh * dact_dz
+      # Scalar division hoisted out of the (width, st) elementwise pass.
+      ds[l] = jnp.sum(dz * zs[l]) / s[l]
+      dv = dz * s[l]
+      dws[l] = _mm_t(hs[l], dv, ((1,), (1,)), compute_dtype)
+      dbs[l] = jnp.sum(dv, axis=1, keepdims=True)
+      dh = _mm_t(w_refs[l][0], dv, ((1,), (0,)), compute_dtype) * rsqrts[l]
 
-  loss_2d = loss_tile[None, None]
-  dscales_2d = (jnp.stack(ds) * ds_raw)[None, :]
-  dlogit_2d = (dlogit_acc * w * (1.0 - w))[None, None]
-  dobs_2d = dobs_tile[:, None]  # (3, 1)
+    dlsa_tile, dfs_tile = _encode_backward_in_kernel(
+        fourier_degrees, interactions, dh, enc_res, fs_ref[0]
+    )
+    return (loss_tile, dlsa_tile, dfs_tile, dws, dbs, ds, dlogit_acc,
+            dobs_tile)
 
-  @pl.when(t == 0)
-  def _():
-    loss_ref[0] = loss_2d
-    dlsa_ref[0] = dlsa_tile
-    dfs_ref[0] = dfs_tile
-    for l in range(depth + 1):
-      dw_refs[l][0] = dws[l]
-      db_refs[l][0] = dbs[l]
-    dscales_ref[0] = dscales_2d
-    dlogit_ref[0] = dlogit_2d
-    dobs_ref[0] = dobs_2d
+  # Each subtile accumulates straight into the output refs (load-add-store),
+  # exactly like the accumulation across row tiles: Mosaic rejects
+  # register-level adds of size-1-minor dot results ("only constant
+  # accumulators supported"), but ref accumulation lowers fine.
+  for k in range(subtiles):
+    sl = slice(k * st, (k + 1) * st)
+    (loss_tile, dlsa_tile, dfs_tile, dws, dbs, ds, dlogit_acc, dobs_tile) = (
+        compute(
+            x_ref[0][:, sl],
+            seasonal_ref[0][:, sl] if has_seasonal else None,
+            y_ref[0][:, sl],
+            k * st,
+        )
+    )
 
-  @pl.when(t != 0)
-  def _():
-    loss_ref[0] += loss_2d
-    dlsa_ref[0] += dlsa_tile
-    dfs_ref[0] += dfs_tile
-    for l in range(depth + 1):
-      dw_refs[l][0] += dws[l]
-      db_refs[l][0] += dbs[l]
-    dscales_ref[0] += dscales_2d
-    dlogit_ref[0] += dlogit_2d
-    dobs_ref[0] += dobs_2d
+    loss_2d = loss_tile[None, None]
+    dscales_2d = (jnp.stack(ds) * ds_raw)[None, :]
+    dlogit_2d = (dlogit_acc * w * (1.0 - w))[None, None]
+    dobs_2d = dobs_tile[:, None]  # (3, 1)
+
+    if k == 0:
+      @pl.when(t == 0)
+      def _(vals=(loss_2d, dlsa_tile, dfs_tile, tuple(dws), tuple(dbs),
+                  dscales_2d, dlogit_2d, dobs_2d)):
+        l2, dlsa2, dfs2, dws2, dbs2, dsc2, dlg2, dob2 = vals
+        loss_ref[0] = l2
+        dlsa_ref[0] = dlsa2
+        dfs_ref[0] = dfs2
+        for l in range(depth + 1):
+          dw_refs[l][0] = dws2[l]
+          db_refs[l][0] = dbs2[l]
+        dscales_ref[0] = dsc2
+        dlogit_ref[0] = dlg2
+        dobs_ref[0] = dob2
+
+      @pl.when(t != 0)
+      def _(vals=(loss_2d, dlsa_tile, dfs_tile, tuple(dws), tuple(dbs),
+                  dscales_2d, dlogit_2d, dobs_2d)):
+        l2, dlsa2, dfs2, dws2, dbs2, dsc2, dlg2, dob2 = vals
+        loss_ref[0] += l2
+        dlsa_ref[0] += dlsa2
+        dfs_ref[0] += dfs2
+        for l in range(depth + 1):
+          dw_refs[l][0] += dws2[l]
+          db_refs[l][0] += dbs2[l]
+        dscales_ref[0] += dsc2
+        dlogit_ref[0] += dlg2
+        dobs_ref[0] += dob2
+    else:
+      loss_ref[0] += loss_2d
+      dlsa_ref[0] += dlsa_tile
+      dfs_ref[0] += dfs_tile
+      for l in range(depth + 1):
+        dw_refs[l][0] += dws[l]
+        db_refs[l][0] += dbs[l]
+      dscales_ref[0] += dscales_2d
+      dlogit_ref[0] += dlogit_2d
+      dobs_ref[0] += dobs_2d
 
 
 def fused_train(
     distribution, depth, tile, lik_scale, input_scales, fourier_degrees,
     interactions, x_t, seasonal_t, weights, biases, lsa, fs_raw, scales_raw,
-    logit, obs_raw, y, precision='f32'
+    logit, obs_raw, y, precision='f32', subtiles=None
 ):
   """Fused training objective from RAW inputs: loss AND grads, any likelihood.
 
@@ -1181,12 +1227,22 @@ def fused_train(
     precision: 'f32', 'bf16' (bf16 MXU operands, f32 accumulation; the
       encode, likelihood, and all size-1-minor dots stay f32), or
       'highest' (multi-pass true-f32 MXU arithmetic).
+    subtiles: split each row tile into this many independent column chunks
+      inside the kernel so one chunk's VPU phases can overlap another's
+      MXU matmuls (None: BNF_FUSED_SUBTILES env var, default 1). Must
+      divide `tile`. Numerics unchanged up to sum reassociation.
 
   Returns:
     (losses, dlsa, dfs_raw, dweights, dbiases, dscales_raw, dlogit,
     dobs_raw) with `losses` of shape (E,) and every gradient shaped like
     its input (dobs_raw: (E, 3)).
   """
+  import os
+
+  if subtiles is None:
+    subtiles = int(os.environ.get('BNF_FUSED_SUBTILES', '1'))
+  if tile % subtiles != 0:
+    raise ValueError(f'{subtiles=} must divide {tile=}.')
   e = weights[0].shape[0]
   d_in = x_t.shape[-2]
   n = x_t.shape[-1]
@@ -1289,8 +1345,8 @@ def fused_train(
   outs = pl.pallas_call(
       _named_kernel(
           functools.partial(
-              _train_kernel_raw, depth, rsqrts, n, tile, float(lik_scale),
-              tuple(fourier_degrees),
+              _train_kernel_raw, depth, rsqrts, n, tile, subtiles,
+              float(lik_scale), tuple(fourier_degrees),
               tuple(interactions), has_seasonal, _compute_dtype(precision),
               distribution,
           ),
@@ -1300,6 +1356,7 @@ def fused_train(
           # Body-only statics: same-shape calls with different values MUST
           # NOT share a compiled kernel.
           float(lik_scale), n, tuple(fourier_degrees), tuple(interactions),
+          subtiles,
       ),
       grid=grid,
       in_specs=in_specs + [

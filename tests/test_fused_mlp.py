@@ -264,7 +264,7 @@ class TestFusedTrain:
     return losses_fn(params), jax.grad(total)(params)
 
   def _run_fused(self, distribution, config, params, x_t, seas, y, lik_scale,
-                 precision='f32'):
+                 precision='f32', subtiles=None):
     from bayesnf_tpu.models import field as field_lib
 
     num_w = config.depth + 1
@@ -291,6 +291,7 @@ class TestFusedTrain:
         obs_raw,
         y,
         precision=precision,
+        subtiles=subtiles,
     )
     pairs = {
         'dlsa': (dlsa, field_lib.IDX_LOG_SCALE_ADJ),
@@ -340,6 +341,31 @@ class TestFusedTrain:
       np.testing.assert_allclose(
           np.asarray(got), want, rtol=grad_tol[0], atol=grad_tol[1],
           err_msg=name)
+
+  @pytest.mark.parametrize('distribution', ['NORMAL', 'NB'])
+  def test_subtiles_match_autodiff(self, distribution):
+    """The VPU/MXU-overlap subtile split changes scheduling, not results.
+
+    subtiles=2 on a 32-row tile with n=70 also exercises the fully-masked
+    subtile (last tile holds 6 valid rows; its second subtile holds none).
+    """
+    config, params, x_t, seas, y, likelihoods = self._setup(
+        distribution=distribution)
+    lik_scale = 1.75
+    losses, pairs = self._run_fused(
+        distribution, config, params, x_t, seas, y, lik_scale, subtiles=2)
+    want_losses, want_grads = self._oracle(
+        distribution, config, params, x_t, seas, y, likelihoods, lik_scale)
+    loss_rtol = 2e-4 if distribution == 'NORMAL' else 1e-3
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(want_losses), rtol=loss_rtol)
+    grad_tol = (2e-4, 2e-5) if distribution == 'NORMAL' else (2e-3, 2e-4)
+    for name, (got, idx) in pairs.items():
+      if name in self._UNUSED_OBS[distribution]:
+        continue
+      np.testing.assert_allclose(
+          np.asarray(got), np.asarray(want_grads[idx]),
+          rtol=grad_tol[0], atol=grad_tol[1], err_msg=name)
 
   @pytest.mark.parametrize('distribution', ['NORMAL', 'NB'])
   def test_bf16_close_to_f32_oracle(self, distribution):
