@@ -161,8 +161,9 @@ def main(argv=None):
       help='Override the ensemble size.',
   )
   parser.add_argument(
-      '--backend', default=None, choices=['xla', 'pallas'],
-      help='Trainer backend (all objectives): pallas = fused TPU kernels.',
+      '--backend', default=None, choices=['auto', 'xla', 'pallas'],
+      help='Trainer backend (all objectives): pallas = fused TPU kernels; '
+      'auto (the fit default) = pallas on TPU, xla elsewhere.',
   )
   parser.add_argument(
       '--precision', default=None, choices=['f32', 'bf16', 'highest'],

@@ -1,0 +1,56 @@
+"""Trainer-backend resolution.
+
+The trainers run on one of two backends (reference has a single code path,
+`/root/reference/src/bayesnf/inference.py:510-623` — the split is a
+TPU-first addition):
+
+- 'xla': the GSPMD-partitioned pure-JAX program. Works on any platform and
+  any ('ens', 'data') mesh shape.
+- 'pallas': the single-pass fused train kernel (`ops/fused_mlp.fused_train`)
+  under `shard_map`. ~2.8x faster than 'xla' on TPU, but requires the mesh
+  data axis to be 1 and is interpreter-slow off-TPU.
+
+'auto' (the default at the estimator API) picks 'pallas' exactly when it is
+the right choice — running on TPU with an unsharded data axis — and 'xla'
+otherwise. Callers that auto-resolved to 'pallas' fall back to 'xla' with a
+loud warning if the kernel program fails to build, so an exotic
+configuration can never make the *default* path worse than the reference
+semantics ('xla' is always available).
+"""
+
+import sys
+import traceback
+
+import jax
+
+from bayesnf_tpu.parallel import mesh as mesh_lib
+
+BACKENDS = ('xla', 'pallas', 'auto')
+
+
+def resolve_backend(backend: str, mesh) -> str:
+  """Resolve 'auto' to a concrete trainer backend for this mesh/platform."""
+  if backend not in BACKENDS:
+    raise ValueError(f'Unknown backend: {backend!r} (expected {BACKENDS}).')
+  if backend != 'auto':
+    return backend
+  if (
+      jax.default_backend() == 'tpu'
+      and mesh.shape[mesh_lib.DATA_AXIS] == 1
+  ):
+    return 'pallas'
+  return 'xla'
+
+
+def warn_pallas_fallback(err: Exception) -> None:
+  """Loud stderr warning when an auto-selected pallas program fails to build.
+
+  Loud on purpose (mirrors bench.py): a silent fallback would let a fused
+  kernel compile regression masquerade as a mere slowdown.
+  """
+  print(
+      'WARNING: auto-selected pallas backend failed to build; '
+      'falling back to xla:',
+      file=sys.stderr,
+  )
+  traceback.print_exception(err, limit=3, file=sys.stderr)

@@ -355,7 +355,7 @@ def ensemble_map(
     checkpoint_dir: str | None = None,
     checkpoint_every: int | None = None,
     precision: str = 'f32',
-    backend: str = 'xla',
+    backend: str = 'auto',
 ) -> tuple[tuple, jax.Array]:
   """Train `ensemble_size` independent MAP/MLE members on one mesh.
 
@@ -382,15 +382,21 @@ def ensemble_map(
       with bf16 operands), 'bf16' (explicit bf16 MXU operands, f32
       parameters and accumulation), or 'highest' (multi-pass true-f32
       MXU arithmetic, ~2-3x slower matmuls).
-    backend: 'xla' (default) or 'pallas' (fused Pallas MLP kernels via
-      shard_map over the 'ens' axis; requires data axis 1).
+    backend: 'xla', 'pallas' (fused Pallas MLP kernels via shard_map over
+      the 'ens' axis; requires data axis 1), or 'auto' (pallas on TPU
+      when the mesh allows it, with loud fallback to xla on kernel build
+      failure; xla otherwise).
 
   Returns:
     (params, losses): params is the flat tuple with leading member axis
     (ensemble_size, ...); losses has shape (ensemble_size, num_epochs).
   """
+  from bayesnf_tpu.inference import backends
+
   if mesh is None:
     mesh = mesh_lib.default_mesh()
+  auto_resolved = backend == 'auto'
+  backend = backends.resolve_backend(backend, mesh)
   data_size = int(target.shape[0])
   if batch_size is None or batch_size > data_size:
     batch_size = data_size
@@ -475,15 +481,31 @@ def ensemble_map(
     )
 
   epoch = start_epoch
+  first_chunk = True
   while epoch < num_epochs:
     chunk = (
         num_epochs - epoch
         if checkpointer is None
         else min(checkpoint_every, num_epochs - epoch)
     )
-    params, opt_state, member_keys, losses = make_train(chunk)(
-        tuple(params), opt_state, member_keys, aug_t, target
-    )
+    try:
+      params, opt_state, member_keys, losses = make_train(chunk)(
+          tuple(params), opt_state, member_keys, aug_t, target
+      )
+    except Exception as err:  # pylint: disable=broad-except
+      # Auto-selected pallas may fail to *build* on an exotic config; the
+      # inputs are untouched (donation only consumes buffers once the
+      # compiled program executes), so retry the chunk on xla.
+      if not (first_chunk and auto_resolved and backend == 'pallas'):
+        raise
+      from bayesnf_tpu.inference import backends
+
+      backends.warn_pallas_fallback(err)
+      backend = 'xla'
+      params, opt_state, member_keys, losses = make_train(chunk)(
+          tuple(params), opt_state, member_keys, aug_t, target
+      )
+    first_chunk = False
     loss_chunks.append(np.asarray(losses))
     epoch += chunk
     # The final chunk is checkpointed too: re-invoking a completed run with
@@ -526,7 +548,7 @@ def fit_map(
     checkpoint_dir: str | None = None,
     checkpoint_every: int | None = None,
     precision: str = 'f32',
-    backend: str = 'xla',
+    backend: str = 'auto',
 ) -> tuple[tuple, np.ndarray]:
   """Fit a MAP/MLE ensemble, optionally in sequential memory-bounded splits.
 

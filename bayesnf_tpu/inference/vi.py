@@ -388,7 +388,7 @@ def fit_vi(
     checkpoint_dir: str | None = None,
     checkpoint_every: int | None = None,
     precision: str = 'f32',
-    backend: str = 'xla',
+    backend: str = 'auto',
 ):
   """Fit an ensemble of mean-field surrogate posteriors.
 
@@ -414,9 +414,10 @@ def fit_vi(
     precision: 'f32' (default; on TPU the MXU already computes f32 dots
       with bf16 operands), 'bf16' (explicit bf16 MXU operands, f32
       accumulation), or 'highest' (multi-pass true-f32 MXU arithmetic).
-    backend: 'xla' (default) or 'pallas' (fused Pallas MLP kernels with the
-      MC-sample axis folded into the kernel member axis; data axis must
-      be 1).
+    backend: 'xla', 'pallas' (fused Pallas MLP kernels with the MC-sample
+      axis folded into the kernel member axis; data axis must be 1), or
+      'auto' (pallas on TPU when the mesh allows it, with loud fallback
+      to xla on kernel build failure; xla otherwise).
 
   Returns:
     (surrogate, losses, draws):
@@ -424,8 +425,12 @@ def fit_vi(
       losses: (E, num_steps) per-member loss history (x kl_weight).
       draws: flat param tuple with leading axes (E, sample_size_posterior).
   """
+  from bayesnf_tpu.inference import backends
+
   if mesh is None:
     mesh = mesh_lib.default_mesh()
+  auto_resolved = backend == 'auto'
+  backend = backends.resolve_backend(backend, mesh)
   data_size = int(target.shape[0])
   if batch_size is None or batch_size > data_size:
     batch_size = data_size
@@ -510,15 +515,29 @@ def fit_vi(
     )
 
   step = start_step
+  first_chunk = True
   while step < num_steps:
     chunk = (
         num_steps - step
         if checkpointer is None
         else min(checkpoint_every, num_steps - step)
     )
-    surrogate, opt_state, member_keys, losses = make_fit(chunk)(
-        surrogate, opt_state, member_keys, aug_t, target
-    )
+    try:
+      surrogate, opt_state, member_keys, losses = make_fit(chunk)(
+          surrogate, opt_state, member_keys, aug_t, target
+      )
+    except Exception as err:  # pylint: disable=broad-except
+      # Auto-selected pallas may fail to *build* on an exotic config; the
+      # inputs are untouched (donation only consumes buffers once the
+      # compiled program executes), so retry the chunk on xla.
+      if not (first_chunk and auto_resolved and backend == 'pallas'):
+        raise
+      backends.warn_pallas_fallback(err)
+      backend = 'xla'
+      surrogate, opt_state, member_keys, losses = make_fit(chunk)(
+          surrogate, opt_state, member_keys, aug_t, target
+      )
+    first_chunk = False
     loss_chunks.append(np.asarray(losses))
     step += chunk
     # Final chunk checkpointed too: a completed run re-invoked with the

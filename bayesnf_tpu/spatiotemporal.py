@@ -416,7 +416,7 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
       checkpoint_dir=None,
       checkpoint_every=None,
       precision='f32',
-      backend='xla',
+      backend='auto',
   ) -> BayesianNeuralFieldEstimator:
     """Run stochastic ensemble MAP (or MLE) inference.
 
@@ -435,7 +435,9 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
       checkpoint_every: epochs between checkpoints (default num_epochs//10).
       precision: 'f32' (default, reference-exact) or 'bf16' (mixed
         precision matmuls; slight numeric drift).
-      backend: 'xla' (default) or 'pallas' (fused Pallas MLP kernels).
+      backend: 'auto' (default: fused Pallas kernels on TPU when the
+        mesh data axis is 1, with loud fallback to 'xla' if the kernel
+        program fails to build; 'xla' otherwise), 'xla', or 'pallas'.
 
     Returns:
       self.
@@ -509,7 +511,7 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
       checkpoint_dir=None,
       checkpoint_every=None,
       precision='f32',
-      backend='xla',
+      backend='auto',
   ) -> BayesianNeuralFieldEstimator:
     """Run stochastic ensemble variational inference.
 
@@ -531,7 +533,9 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
       precision: 'f32' (default), 'bf16' (explicit bf16 MXU operands), or
         'highest' (multi-pass true-f32 MXU arithmetic; note the TPU
         default already computes f32 dots with bf16 operands).
-      backend: 'xla' (default) or 'pallas' (fused Pallas MLP kernels).
+      backend: 'auto' (default: fused Pallas kernels on TPU when the
+        mesh data axis is 1, with loud fallback to 'xla' if the kernel
+        program fails to build; 'xla' otherwise), 'xla', or 'pallas'.
 
     Returns:
       self.
