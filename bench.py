@@ -19,6 +19,15 @@ import sys
 import traceback
 
 import jax
+
+# Honor an explicit JAX_PLATFORMS=cpu even when a site hook (e.g. a TPU
+# plugin) pre-registered another platform: jax binds jax_platforms from the
+# env at import, so update the config too (same hardening as
+# __graft_entry__.py). Without this a "CPU" bench silently grabs the
+# single-tenant TPU and contends with whatever is running there.
+if os.environ.get('JAX_PLATFORMS') == 'cpu':
+  jax.config.update('jax_platforms', 'cpu')
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,7 +109,7 @@ def main():
     # Force host materialization: on some remote-device transports
     # `block_until_ready` returns before execution finishes, so timing must
     # fetch the result.
-    return np.asarray(losses)
+    return params, np.asarray(losses)
 
   # Warmup/compile at the same static shape (epoch count is static: compile
   # once for the timed length). Fall back to the XLA backend if the Pallas
@@ -119,7 +128,7 @@ def main():
   with profiling.StepTimer(
       member_steps=timed_epochs * ensemble, num_chips=n_chips
   ) as timer:
-    losses = run(timed_epochs, seed=1)
+    map_params, losses = run(timed_epochs, seed=1)
 
   assert np.all(np.isfinite(losses)), 'non-finite bench loss'
   value = timer.report.member_steps_per_sec_per_chip
@@ -199,6 +208,35 @@ def main():
     print('WARNING: NB bench failed:', file=sys.stderr)
     traceback.print_exc(limit=3, file=sys.stderr)
 
+  # Prediction throughput: means + 3 exact mixture quantiles over the full
+  # workload through the trained MAP ensemble (features-major path,
+  # device-side chunking). Reported as ms per call; failures non-fatal.
+  predict_ms = None
+  try:
+    from bayesnf_tpu.inference import predict as predict_lib
+
+    def run_predict():
+      means, qs = predict_lib.predict_bnf(
+          x,
+          'NORMAL',
+          map_params,
+          config,
+          quantiles=(0.5, 0.025, 0.975),
+          ensemble_dims=1,
+      )
+      return np.asarray(means), [np.asarray(q) for q in qs]
+
+    run_predict()  # warm/compile
+    reps = 2 if small else 5
+    with profiling.StepTimer(member_steps=reps, num_chips=n_chips) as p_timer:
+      for _ in range(reps):
+        means, _ = run_predict()
+    assert np.all(np.isfinite(means)), 'non-finite bench prediction'
+    predict_ms = p_timer.report.seconds / reps * 1000.0
+  except Exception:  # pylint: disable=broad-except
+    print('WARNING: predict bench failed:', file=sys.stderr)
+    traceback.print_exc(limit=3, file=sys.stderr)
+
   record = {
       'metric': 'map_member_steps_per_sec_per_chip',
       'value': round(value, 2),
@@ -213,6 +251,8 @@ def main():
     record['vi_member_steps_per_sec_per_chip'] = round(vi_value, 2)
   if nb_value is not None:
     record['nb_member_steps_per_sec_per_chip'] = round(nb_value, 2)
+  if predict_ms is not None:
+    record['predict_ms_full_grid_3_quantiles'] = round(predict_ms, 1)
   print(json.dumps(record))
 
 
