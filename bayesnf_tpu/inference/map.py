@@ -392,11 +392,18 @@ def ensemble_map(
     (ensemble_size, ...); losses has shape (ensemble_size, num_epochs).
   """
   from bayesnf_tpu.inference import backends
+  from bayesnf_tpu.parallel import distributed as dist_lib
 
   if mesh is None:
     mesh = mesh_lib.default_mesh()
   auto_resolved = backend == 'auto'
   backend = backends.resolve_backend(backend, mesh)
+  multiproc = dist_lib.is_multiprocess_mesh(mesh)
+  if multiproc and checkpoint_dir is not None:
+    raise NotImplementedError(
+        'checkpoint_dir on a multi-process mesh is not supported yet; '
+        'checkpoint per-host meshes or run without checkpointing.'
+    )
   data_size = int(target.shape[0])
   if batch_size is None or batch_size > data_size:
     batch_size = data_size
@@ -418,6 +425,19 @@ def ensemble_map(
   # Features-major device layout (rows on the TPU lane dimension).
   aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
   target = jnp.asarray(target, dtype=jnp.float32)
+
+  if multiproc:
+    # Multi-process SPMD: every process computes the same full host values
+    # (same script, same seed) and contributes its local shards — a plain
+    # jit call cannot auto-shard process-local arrays onto a global mesh.
+    ens = mesh_lib.ensemble_sharding(mesh)
+    params = tuple(dist_lib.make_global(p, ens) for p in params)
+    opt_state = jax.tree_util.tree_map(
+        lambda x: dist_lib.make_global(x, ens), opt_state
+    )
+    member_keys = dist_lib.make_global(member_keys, ens)
+    aug_t = dist_lib.make_global(aug_t, mesh_lib.data_sharding_t(mesh))
+    target = dist_lib.make_global(target, mesh_lib.data_sharding(mesh))
 
   num_epochs = int(num_epochs)
   start_epoch = 0
@@ -506,7 +526,7 @@ def ensemble_map(
           tuple(params), opt_state, member_keys, aug_t, target
       )
     first_chunk = False
-    loss_chunks.append(np.asarray(losses))
+    loss_chunks.append(dist_lib.host_value(losses))
     epoch += chunk
     # The final chunk is checkpointed too: re-invoking a completed run with
     # the same directory resumes at epoch == num_epochs and is a no-op.
@@ -525,6 +545,11 @@ def ensemble_map(
   if checkpointer is not None:
     checkpointer.close()
 
+  if multiproc:
+    # Gather the cross-process-sharded ensemble so every process returns
+    # the full (host numpy) result — the reference's contract of fully
+    # addressable params_/losses_ on every host.
+    params = tuple(dist_lib.host_value(p) for p in params)
   losses = jnp.concatenate([jnp.asarray(l) for l in loss_chunks], axis=-1)
   if padded != ensemble_size:
     params = tuple(p[:ensemble_size] for p in params)

@@ -426,11 +426,18 @@ def fit_vi(
       draws: flat param tuple with leading axes (E, sample_size_posterior).
   """
   from bayesnf_tpu.inference import backends
+  from bayesnf_tpu.parallel import distributed as dist_lib
 
   if mesh is None:
     mesh = mesh_lib.default_mesh()
   auto_resolved = backend == 'auto'
   backend = backends.resolve_backend(backend, mesh)
+  multiproc = dist_lib.is_multiprocess_mesh(mesh)
+  if multiproc and checkpoint_dir is not None:
+    raise NotImplementedError(
+        'checkpoint_dir on a multi-process mesh is not supported yet; '
+        'checkpoint per-host meshes or run without checkpointing.'
+    )
   data_size = int(target.shape[0])
   if batch_size is None or batch_size > data_size:
     batch_size = data_size
@@ -445,6 +452,20 @@ def fit_vi(
 
   aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
   target = jnp.asarray(target, dtype=jnp.float32)
+
+  if multiproc:
+    # Multi-process SPMD: every process computes the same full host values
+    # and contributes its local shards (see inference/map.py).
+    ens = mesh_lib.ensemble_sharding(mesh)
+    surrogate = jax.tree_util.tree_map(
+        lambda x: dist_lib.make_global(x, ens), surrogate
+    )
+    opt_state = jax.tree_util.tree_map(
+        lambda x: dist_lib.make_global(x, ens), opt_state
+    )
+    member_keys = dist_lib.make_global(member_keys, ens)
+    aug_t = dist_lib.make_global(aug_t, mesh_lib.data_sharding_t(mesh))
+    target = dist_lib.make_global(target, mesh_lib.data_sharding(mesh))
 
   num_steps = int(num_epochs)
   start_step = 0
@@ -538,7 +559,7 @@ def fit_vi(
           surrogate, opt_state, member_keys, aug_t, target
       )
     first_chunk = False
-    loss_chunks.append(np.asarray(losses))
+    loss_chunks.append(dist_lib.host_value(losses))
     step += chunk
     # Final chunk checkpointed too: a completed run re-invoked with the
     # same directory resumes at step == num_steps and is a no-op.
@@ -562,6 +583,11 @@ def fit_vi(
   draw = _make_vi_draw_fn(config, int(sample_size_posterior), mesh)
   draws = draw(surrogate, member_keys)
   losses = jnp.concatenate([jnp.asarray(l) for l in loss_chunks], axis=-1)
+
+  if multiproc:
+    # Gather cross-process-sharded results to full host values everywhere.
+    surrogate = jax.tree_util.tree_map(dist_lib.host_value, surrogate)
+    draws = tuple(dist_lib.host_value(p) for p in draws)
 
   if padded != ensemble_size:
     surrogate = jax.tree_util.tree_map(lambda p: p[:ensemble_size], surrogate)

@@ -16,9 +16,12 @@ Typical pod-slice usage (same script on every host):
     mesh = distributed.multihost_mesh(data_devices_per_host=1)
     model.fit(df, seed, ensemble_size=256, mesh=mesh)
 
-Every host must run the same fit with the same arguments (standard SPMD);
-params_/losses_ are fully addressable on each host afterward because the
-final device_get gathers across processes.
+Every host must run the same fit with the same arguments (standard SPMD).
+The trainers detect a multi-process mesh, shard their (identical per-host)
+inputs onto it with `make_global`, and gather final params/losses with
+`host_value`, so params_/losses_ come back as full host values on every
+host. Validated end-to-end by `tests/test_multiprocess.py` (two real
+processes over Gloo CPU collectives).
 """
 
 import numpy as np
@@ -62,3 +65,40 @@ def multihost_mesh(data_devices_per_host: int = 1) -> Mesh:
     )
   grid = devices.reshape(-1, data_devices_per_host)
   return Mesh(grid, (mesh_lib.ENSEMBLE_AXIS, mesh_lib.DATA_AXIS))
+
+
+def is_multiprocess_mesh(mesh: Mesh) -> bool:
+  """True when the mesh spans devices of more than one process."""
+  procs = {d.process_index for d in mesh.devices.flat}
+  return len(procs) > 1
+
+
+def make_global(x, sharding):
+  """Host-replicated value -> global `jax.Array` with the given sharding.
+
+  Standard SPMD setup: every process holds the SAME full `x` (same script,
+  same seed) and contributes its local shards. Required on multi-process
+  meshes, where a plain jit call cannot auto-shard process-local inputs.
+  """
+  host = np.asarray(x)
+  return jax.make_array_from_callback(
+      host.shape, sharding, lambda idx: host[idx]
+  )
+
+
+def host_value(x):
+  """Global `jax.Array` -> full host numpy value on EVERY process.
+
+  np.asarray works for single-process and fully-replicated arrays; arrays
+  sharded across processes are gathered with an explicit cross-process
+  allgather first.
+  """
+  if (
+      not isinstance(x, jax.Array)
+      or x.is_fully_addressable
+      or x.is_fully_replicated
+  ):
+    return np.asarray(x)
+  from jax.experimental import multihost_utils
+
+  return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -1,0 +1,105 @@
+"""Worker for the multi-process rehearsal test (not a pytest module).
+
+Launched as `python _multiprocess_worker.py <process_id> <num_processes>
+<port> <data_devices_per_host>` with JAX_PLATFORMS=cpu and 4 virtual CPU
+devices per process. Joins the distributed runtime, fits a tiny MAP
+ensemble and a tiny VI ensemble over the multi-host mesh, and prints one
+JSON line with the results.
+"""
+
+import json
+import os
+import sys
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = (
+    os.environ.get('XLA_FLAGS', '')
+    + ' --xla_force_host_platform_device_count=4'
+).strip()
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+  process_id, num_processes, port, data_per_host = map(int, sys.argv[1:5])
+  jax.distributed.initialize(
+      coordinator_address=f'localhost:{port}',
+      num_processes=num_processes,
+      process_id=process_id,
+  )
+
+  sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+  from bayesnf_tpu.inference import map as map_lib
+  from bayesnf_tpu.inference import vi as vi_lib
+  from bayesnf_tpu.models import field as field_lib
+  from bayesnf_tpu.models import likelihoods
+  from bayesnf_tpu.parallel import distributed
+
+  mesh = distributed.multihost_mesh(data_devices_per_host=data_per_host)
+  assert distributed.is_multiprocess_mesh(mesh)
+
+  config = field_lib.FieldConfig.create(
+      width=16,
+      depth=2,
+      input_scales=[50.0, 1.0],
+      fourier_degrees=[3, 2],
+      interactions=[(0, 1)],
+      seasonality_periods=[7.0],
+      num_seasonal_harmonics=[2],
+  )
+  rng = np.random.default_rng(0)
+  x = rng.normal(size=(96, 2)).astype(np.float32) * 5
+  y = rng.normal(size=(96,)).astype(np.float32)
+  seasonal = field_lib.seasonal_features_for(config, jnp.asarray(x))
+  aug = jnp.concatenate([jnp.asarray(x), seasonal], axis=-1)
+
+  params, losses = map_lib.ensemble_map(
+      aug,
+      jnp.asarray(y),
+      config,
+      likelihoods.LikelihoodDist.NORMAL,
+      ensemble_size=6,  # not a multiple of the 8-wide mesh: exercises padding
+      learning_rate=0.01,
+      num_epochs=4,
+      seed=jax.random.PRNGKey(0),
+      batch_size=32,
+      prior_weight=1.0,
+      mesh=mesh,
+      backend='xla',
+  )
+
+  _, vi_losses, vi_draws = vi_lib.fit_vi(
+      aug,
+      jnp.asarray(y),
+      jax.random.PRNGKey(1),
+      'NORMAL',
+      config,
+      ensemble_size=4,
+      learning_rate=0.01,
+      num_epochs=3,
+      sample_size_divergence=2,
+      sample_size_posterior=2,
+      batch_size=32,
+      mesh=mesh,
+      backend='xla',
+  )
+
+  out = {
+      'process_id': process_id,
+      'mesh_shape': dict(mesh.shape),
+      'map_losses': np.asarray(losses).tolist(),
+      'map_param_sums': [float(np.sum(np.asarray(p))) for p in params],
+      'map_param_shapes': [list(np.shape(p)) for p in params],
+      'vi_losses': np.asarray(vi_losses).tolist(),
+      'vi_draw_sum': float(sum(np.sum(np.asarray(d)) for d in vi_draws)),
+  }
+  print('WORKER_RESULT ' + json.dumps(out), flush=True)
+
+
+if __name__ == '__main__':
+  main()

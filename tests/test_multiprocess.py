@@ -1,0 +1,134 @@
+"""Real multi-process (multi-host rehearsal) validation.
+
+The reference never ran its multi-device path in CI at all (SURVEY.md §4);
+beyond the virtual 8-device single-process mesh the rest of this suite
+uses, these tests launch TWO separate Python processes, join them through
+`jax.distributed` (Gloo CPU collectives), build the host-major
+('ens', 'data') `multihost_mesh`, and run the actual MAP and VI trainers
+across the process boundary — the closest rehearsal of a pod-slice run
+that a single machine can provide.
+
+Checked: both processes return identical, fully-addressable results
+(params_/losses_ contract), and those results match a single-process fit
+of the same seeds on an identically-shaped mesh.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayesnf_tpu.inference import map as map_lib
+from bayesnf_tpu.inference import vi as vi_lib
+from bayesnf_tpu.models import field as field_lib
+from bayesnf_tpu.models import likelihoods
+from bayesnf_tpu.parallel import mesh as mesh_lib
+
+_WORKER = os.path.join(os.path.dirname(__file__), '_multiprocess_worker.py')
+
+
+def _free_port():
+  s = socket.socket()
+  s.bind(('localhost', 0))
+  port = s.getsockname()[1]
+  s.close()
+  return port
+
+
+def _run_workers(data_devices_per_host):
+  port = _free_port()
+  env = dict(os.environ)
+  env.pop('XLA_FLAGS', None)  # worker sets its own 4-device flag
+  env['JAX_PLATFORMS'] = 'cpu'
+  procs = [
+      subprocess.Popen(
+          [sys.executable, _WORKER, str(i), '2', str(port),
+           str(data_devices_per_host)],
+          stdout=subprocess.PIPE,
+          stderr=subprocess.PIPE,
+          env=env,
+          text=True,
+      )
+      for i in range(2)
+  ]
+  results = {}
+  for p in procs:
+    out, err = p.communicate(timeout=600)
+    assert p.returncode == 0, f'worker failed:\n{out}\n{err}'
+    for line in out.splitlines():
+      if line.startswith('WORKER_RESULT '):
+        r = json.loads(line[len('WORKER_RESULT '):])
+        results[r['process_id']] = r
+  assert set(results) == {0, 1}, f'missing worker output: {results.keys()}'
+  return results
+
+
+def _reference_fit(data_devices):
+  """Same fits on this process' identically-shaped 8-device mesh."""
+  config = field_lib.FieldConfig.create(
+      width=16,
+      depth=2,
+      input_scales=[50.0, 1.0],
+      fourier_degrees=[3, 2],
+      interactions=[(0, 1)],
+      seasonality_periods=[7.0],
+      num_seasonal_harmonics=[2],
+  )
+  rng = np.random.default_rng(0)
+  x = rng.normal(size=(96, 2)).astype(np.float32) * 5
+  y = rng.normal(size=(96,)).astype(np.float32)
+  seasonal = field_lib.seasonal_features_for(config, jnp.asarray(x))
+  aug = jnp.concatenate([jnp.asarray(x), seasonal], axis=-1)
+  mesh = mesh_lib.default_mesh(data_devices=data_devices)
+
+  _, losses = map_lib.ensemble_map(
+      aug, jnp.asarray(y), config, likelihoods.LikelihoodDist.NORMAL,
+      ensemble_size=6, learning_rate=0.01, num_epochs=4,
+      seed=jax.random.PRNGKey(0), batch_size=32, prior_weight=1.0,
+      mesh=mesh, backend='xla',
+  )
+  _, vi_losses, _ = vi_lib.fit_vi(
+      aug, jnp.asarray(y), jax.random.PRNGKey(1), 'NORMAL', config,
+      ensemble_size=4, learning_rate=0.01, num_epochs=3,
+      sample_size_divergence=2, sample_size_posterior=2, batch_size=32,
+      mesh=mesh, backend='xla',
+  )
+  return np.asarray(losses), np.asarray(vi_losses)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('data_devices_per_host', [1, 2])
+def test_two_process_fit_matches_single_process(data_devices_per_host):
+  results = _run_workers(data_devices_per_host)
+  r0, r1 = results[0], results[1]
+
+  # Both processes hold the FULL result (the reference's fully-addressable
+  # params_/losses_ contract), identically.
+  assert r0['mesh_shape'] == {
+      'ens': 8 // data_devices_per_host, 'data': data_devices_per_host
+  }
+  assert r0['map_losses'] == r1['map_losses']
+  assert r0['map_param_sums'] == r1['map_param_sums']
+  assert r0['vi_losses'] == r1['vi_losses']
+  assert r0['vi_draw_sum'] == r1['vi_draw_sum']
+  assert np.all(np.isfinite(np.asarray(r0['map_losses'])))
+  assert np.all(np.isfinite(np.asarray(r0['vi_losses'])))
+
+  # Padding contract survives multi-process: 6 members on an 8-wide axis.
+  assert np.asarray(r0['map_losses']).shape == (6, 4)
+  assert all(s[0] == 6 for s in r0['map_param_shapes'])
+
+  # And the numbers match a single-process run of the same seeds on an
+  # identically-shaped mesh (reduction order may differ when the data
+  # axis is sharded, hence allclose rather than equality).
+  want_map, want_vi = _reference_fit(data_devices_per_host)
+  np.testing.assert_allclose(
+      np.asarray(r0['map_losses']), want_map, rtol=1e-5
+  )
+  np.testing.assert_allclose(np.asarray(r0['vi_losses']), want_vi, rtol=1e-5)
