@@ -208,30 +208,37 @@ def main():
     print('WARNING: NB bench failed:', file=sys.stderr)
     traceback.print_exc(limit=3, file=sys.stderr)
 
-  # Prediction throughput: means + 3 exact mixture quantiles over the full
-  # workload through the trained MAP ensemble (features-major path,
-  # device-side chunking). Reported as ms per call; failures non-fatal.
+  # Prediction latency: means + 3 exact mixture quantiles over the full
+  # workload through the trained MAP ensemble (the single jitted predict
+  # program). Timed device-side: every output feeds a scalar reduction so
+  # nothing is dead-code-eliminated, but only the scalar is fetched — the
+  # full result is ~10 MB of per-member means, and on this remote-tunneled
+  # dev transport (~23 MB/s measured) the fetch alone adds ~400 ms that a
+  # PCIe-attached host would not see (~3 ms). Failures are non-fatal.
   predict_ms = None
   try:
     from bayesnf_tpu.inference import predict as predict_lib
 
-    def run_predict():
-      means, qs = predict_lib.predict_bnf(
-          x,
-          'NORMAL',
-          map_params,
-          config,
-          quantiles=(0.5, 0.025, 0.975),
-          ensemble_dims=1,
-      )
-      return np.asarray(means), [np.asarray(q) for q in qs]
+    predict_fn = predict_lib._make_predict_fn(  # pylint: disable=protected-access
+        config,
+        likelihoods.LikelihoodDist.NORMAL,
+        (0.5, 0.025, 0.975),
+        1,
+        False,
+        4096,
+    )
 
-    run_predict()  # warm/compile
+    @jax.jit
+    def predict_reduced(params, xx):
+      means, qs = predict_fn(params, xx)
+      return means.sum() + sum(q.sum() for q in qs)
+
+    checksum = float(predict_reduced(map_params, x))  # warm/compile
+    assert np.isfinite(checksum), 'non-finite bench prediction'
     reps = 2 if small else 5
     with profiling.StepTimer(member_steps=reps, num_chips=n_chips) as p_timer:
       for _ in range(reps):
-        means, _ = run_predict()
-    assert np.all(np.isfinite(means)), 'non-finite bench prediction'
+        float(predict_reduced(map_params, x))
     predict_ms = p_timer.report.seconds / reps * 1000.0
   except Exception:  # pylint: disable=broad-except
     print('WARNING: predict bench failed:', file=sys.stderr)
@@ -252,7 +259,7 @@ def main():
   if nb_value is not None:
     record['nb_member_steps_per_sec_per_chip'] = round(nb_value, 2)
   if predict_ms is not None:
-    record['predict_ms_full_grid_3_quantiles'] = round(predict_ms, 1)
+    record['predict_device_ms_full_grid_3_quantiles'] = round(predict_ms, 1)
   print(json.dumps(record))
 
 
