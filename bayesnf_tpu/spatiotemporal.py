@@ -217,6 +217,24 @@ class BayesianNeuralFieldEstimator:
 
   # -- Prediction ------------------------------------------------------------
 
+  def _device_params(self):
+    """Device-resident copy of `params_`, cached for repeated predicts.
+
+    `params_` lives on the host (numpy after a fit or a `load`); without a
+    cache every predict call re-uploads the full ensemble (~10 MB at the
+    64-member flagship scale — hundreds of ms on a remote-tunneled
+    device). Invalidated by identity: `fit`/`load` rebind `params_`.
+    """
+    cached = getattr(self, '_device_params_cache', None)
+    if cached is not None and cached[0] is self.params_:
+      return cached[1]
+    device = tuple(
+        p if isinstance(p, jax.Array) else jax.device_put(np.asarray(p))
+        for p in self.params_
+    )
+    self._device_params_cache = (self.params_, device)
+    return device
+
   def predict(self, table, quantiles=(0.5,), approximate_quantiles=False):
     """Predict the target at new field points.
 
@@ -235,7 +253,7 @@ class BayesianNeuralFieldEstimator:
     return predict_lib.predict_bnf(
         test_data,
         self.observation_model,
-        params=self.params_,
+        params=self._device_params(),
         config=self._field_config(test_data.shape),
         quantiles=quantiles,
         ensemble_dims=self._ensemble_dims,
