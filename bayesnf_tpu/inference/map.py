@@ -399,11 +399,6 @@ def ensemble_map(
   auto_resolved = backend == 'auto'
   backend = backends.resolve_backend(backend, mesh)
   multiproc = dist_lib.is_multiprocess_mesh(mesh)
-  if multiproc and checkpoint_dir is not None:
-    raise NotImplementedError(
-        'checkpoint_dir on a multi-process mesh is not supported yet; '
-        'checkpoint per-host meshes or run without checkpointing.'
-    )
   data_size = int(target.shape[0])
   if batch_size is None or batch_size > data_size:
     batch_size = data_size
@@ -425,19 +420,6 @@ def ensemble_map(
   # Features-major device layout (rows on the TPU lane dimension).
   aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
   target = jnp.asarray(target, dtype=jnp.float32)
-
-  if multiproc:
-    # Multi-process SPMD: every process computes the same full host values
-    # (same script, same seed) and contributes its local shards — a plain
-    # jit call cannot auto-shard process-local arrays onto a global mesh.
-    ens = mesh_lib.ensemble_sharding(mesh)
-    params = tuple(dist_lib.make_global(p, ens) for p in params)
-    opt_state = jax.tree_util.tree_map(
-        lambda x: dist_lib.make_global(x, ens), opt_state
-    )
-    member_keys = dist_lib.make_global(member_keys, ens)
-    aug_t = dist_lib.make_global(aug_t, mesh_lib.data_sharding_t(mesh))
-    target = dist_lib.make_global(target, mesh_lib.data_sharding(mesh))
 
   num_epochs = int(num_epochs)
   start_epoch = 0
@@ -472,6 +454,20 @@ def ensemble_map(
       start_epoch = restored.epoch
     if checkpoint_every is None:
       checkpoint_every = max(1, num_epochs // 10)
+
+  if multiproc:
+    # Multi-process SPMD: every process computes the same full host values
+    # (same script, same seed — and the same restored checkpoint) and
+    # contributes its local shards; a plain jit call cannot auto-shard
+    # process-local arrays onto a global mesh.
+    ens = mesh_lib.ensemble_sharding(mesh)
+    params = tuple(dist_lib.make_global(p, ens) for p in params)
+    opt_state = jax.tree_util.tree_map(
+        lambda x: dist_lib.make_global(x, ens), opt_state
+    )
+    member_keys = dist_lib.make_global(member_keys, ens)
+    aug_t = dist_lib.make_global(aug_t, mesh_lib.data_sharding_t(mesh))
+    target = dist_lib.make_global(target, mesh_lib.data_sharding(mesh))
 
   def make_train(chunk_epochs):
     if backend == 'pallas':
@@ -533,11 +529,19 @@ def ensemble_map(
     if checkpointer is not None:
       from bayesnf_tpu.utils import checkpoint as ckpt_lib
 
+      # On a multi-process mesh both the gather and the orbax save are
+      # collectives: every process calls save with the same (host) state,
+      # orbax's primary process writes and its internal barriers keep the
+      # rest from racing ahead of an in-flight checkpoint.
       checkpointer.save(
           ckpt_lib.TrainState.from_opt_state(
-              params=jax.tree_util.tree_map(np.asarray, tuple(params)),
-              opt_state=jax.tree_util.tree_map(np.asarray, opt_state),
-              keys=np.asarray(member_keys),
+              params=jax.tree_util.tree_map(
+                  dist_lib.host_value, tuple(params)
+              ),
+              opt_state=jax.tree_util.tree_map(
+                  dist_lib.host_value, opt_state
+              ),
+              keys=dist_lib.host_value(member_keys),
               losses=loss_chunks,
               epoch=epoch,
           )

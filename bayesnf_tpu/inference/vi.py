@@ -433,11 +433,6 @@ def fit_vi(
   auto_resolved = backend == 'auto'
   backend = backends.resolve_backend(backend, mesh)
   multiproc = dist_lib.is_multiprocess_mesh(mesh)
-  if multiproc and checkpoint_dir is not None:
-    raise NotImplementedError(
-        'checkpoint_dir on a multi-process mesh is not supported yet; '
-        'checkpoint per-host meshes or run without checkpointing.'
-    )
   data_size = int(target.shape[0])
   if batch_size is None or batch_size > data_size:
     batch_size = data_size
@@ -452,20 +447,6 @@ def fit_vi(
 
   aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
   target = jnp.asarray(target, dtype=jnp.float32)
-
-  if multiproc:
-    # Multi-process SPMD: every process computes the same full host values
-    # and contributes its local shards (see inference/map.py).
-    ens = mesh_lib.ensemble_sharding(mesh)
-    surrogate = jax.tree_util.tree_map(
-        lambda x: dist_lib.make_global(x, ens), surrogate
-    )
-    opt_state = jax.tree_util.tree_map(
-        lambda x: dist_lib.make_global(x, ens), opt_state
-    )
-    member_keys = dist_lib.make_global(member_keys, ens)
-    aug_t = dist_lib.make_global(aug_t, mesh_lib.data_sharding_t(mesh))
-    target = dist_lib.make_global(target, mesh_lib.data_sharding(mesh))
 
   num_steps = int(num_epochs)
   start_step = 0
@@ -505,6 +486,21 @@ def fit_vi(
       start_step = restored.epoch
     if checkpoint_every is None:
       checkpoint_every = max(1, num_steps // 10)
+
+  if multiproc:
+    # Multi-process SPMD: every process computes the same full host values
+    # (same script, same seed — and the same restored checkpoint) and
+    # contributes its local shards (see inference/map.py).
+    ens = mesh_lib.ensemble_sharding(mesh)
+    surrogate = jax.tree_util.tree_map(
+        lambda x: dist_lib.make_global(x, ens), surrogate
+    )
+    opt_state = jax.tree_util.tree_map(
+        lambda x: dist_lib.make_global(x, ens), opt_state
+    )
+    member_keys = dist_lib.make_global(member_keys, ens)
+    aug_t = dist_lib.make_global(aug_t, mesh_lib.data_sharding_t(mesh))
+    target = dist_lib.make_global(target, mesh_lib.data_sharding(mesh))
 
   def make_fit(chunk_steps):
     if backend == 'pallas':
@@ -566,13 +562,19 @@ def fit_vi(
     if checkpointer is not None:
       from bayesnf_tpu.utils import checkpoint as ckpt_lib
 
+      # Gather and save are both collectives on a multi-process mesh (see
+      # inference/map.py): every process calls save, orbax's primary
+      # writes, its internal barriers prevent races.
       checkpointer.save(
           ckpt_lib.TrainState.from_opt_state(
               params=jax.tree_util.tree_map(
-                  np.asarray, tuple(surrogate[0]) + tuple(surrogate[1])
+                  dist_lib.host_value,
+                  tuple(surrogate[0]) + tuple(surrogate[1]),
               ),
-              opt_state=jax.tree_util.tree_map(np.asarray, opt_state),
-              keys=np.asarray(member_keys),
+              opt_state=jax.tree_util.tree_map(
+                  dist_lib.host_value, opt_state
+              ),
+              keys=dist_lib.host_value(member_keys),
               losses=loss_chunks,
               epoch=step,
           )

@@ -140,7 +140,9 @@ class TrainCheckpointer:
         # save-time re-check below makes ITS first save fail loudly
         # rather than letting two runs interleave.)
         stored = None
-      if stored is None:
+      if stored is None and jax.process_index() == 0:
+        # Single writer in multi-process runs (process 0 also owns the
+        # checkpoint saves); other processes only validate.
         with open(self._meta_path, 'w') as f:
           json.dump({'fingerprint': fingerprint}, f)
 

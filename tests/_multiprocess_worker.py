@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 def main():
   process_id, num_processes, port, data_per_host = map(int, sys.argv[1:5])
+  ckpt_dir = sys.argv[5] if len(sys.argv) > 5 and sys.argv[5] != 'none' else None
   jax.distributed.initialize(
       coordinator_address=f'localhost:{port}',
       num_processes=num_processes,
@@ -98,6 +99,29 @@ def main():
       'vi_losses': np.asarray(vi_losses).tolist(),
       'vi_draw_sum': float(sum(np.sum(np.asarray(d)) for d in vi_draws)),
   }
+
+  if ckpt_dir is not None:
+    # Checkpoint/resume across the process boundary: train 2 of 4 epochs
+    # (one checkpointed chunk), then re-invoke with the full budget — the
+    # second call must restore process-consistently and finish the run
+    # with the exact losses of the uninterrupted fit above.
+    common = dict(
+        ensemble_size=6, learning_rate=0.01, num_epochs=4,
+        seed=jax.random.PRNGKey(0), batch_size=32, prior_weight=1.0,
+        mesh=mesh, backend='xla', checkpoint_dir=ckpt_dir,
+        checkpoint_every=2,
+    )
+    interrupted = dict(common, num_epochs=2)
+    map_lib.ensemble_map(
+        aug, jnp.asarray(y), config, likelihoods.LikelihoodDist.NORMAL,
+        **interrupted,
+    )
+    _, resumed_losses = map_lib.ensemble_map(
+        aug, jnp.asarray(y), config, likelihoods.LikelihoodDist.NORMAL,
+        **common,
+    )
+    out['ckpt_map_losses'] = np.asarray(resumed_losses).tolist()
+
   print('WORKER_RESULT ' + json.dumps(out), flush=True)
 
 

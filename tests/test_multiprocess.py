@@ -41,7 +41,7 @@ def _free_port():
   return port
 
 
-def _run_workers(data_devices_per_host):
+def _run_workers(data_devices_per_host, ckpt_dir=None):
   port = _free_port()
   env = dict(os.environ)
   env.pop('XLA_FLAGS', None)  # worker sets its own 4-device flag
@@ -49,7 +49,7 @@ def _run_workers(data_devices_per_host):
   procs = [
       subprocess.Popen(
           [sys.executable, _WORKER, str(i), '2', str(port),
-           str(data_devices_per_host)],
+           str(data_devices_per_host), ckpt_dir or 'none'],
           stdout=subprocess.PIPE,
           stderr=subprocess.PIPE,
           env=env,
@@ -104,8 +104,11 @@ def _reference_fit(data_devices):
 
 @pytest.mark.slow
 @pytest.mark.parametrize('data_devices_per_host', [1, 2])
-def test_two_process_fit_matches_single_process(data_devices_per_host):
-  results = _run_workers(data_devices_per_host)
+def test_two_process_fit_matches_single_process(
+    data_devices_per_host, tmp_path
+):
+  ckpt_dir = str(tmp_path / 'ckpt') if data_devices_per_host == 1 else None
+  results = _run_workers(data_devices_per_host, ckpt_dir=ckpt_dir)
   r0, r1 = results[0], results[1]
 
   # Both processes hold the FULL result (the reference's fully-addressable
@@ -132,3 +135,10 @@ def test_two_process_fit_matches_single_process(data_devices_per_host):
       np.asarray(r0['map_losses']), want_map, rtol=1e-5
   )
   np.testing.assert_allclose(np.asarray(r0['vi_losses']), want_vi, rtol=1e-5)
+
+  if ckpt_dir is not None:
+    # Checkpoint/resume across the process boundary (process 0 writes, all
+    # processes restore): interrupted-at-epoch-2 + resumed run must match
+    # the uninterrupted 4-epoch fit exactly, on both processes.
+    assert r0['ckpt_map_losses'] == r0['map_losses']
+    assert r1['ckpt_map_losses'] == r0['map_losses']
