@@ -7,12 +7,14 @@ TPU-first addition):
 - 'xla': the GSPMD-partitioned pure-JAX program. Works on any platform and
   any ('ens', 'data') mesh shape.
 - 'pallas': the single-pass fused train kernel (`ops/fused_mlp.fused_train`)
-  under `shard_map`. ~2.8x faster than 'xla' on TPU, but requires the mesh
-  data axis to be 1 and is interpreter-slow off-TPU.
+  under `shard_map`. ~2.8x faster than 'xla' on TPU, but interpreter-slow
+  off-TPU. A sharded data axis is supported for full-batch training (the
+  kernel runs per row shard; losses/grads psum over 'data'); minibatch SGD
+  with a sharded data axis needs 'xla' (global permutation gather).
 
 'auto' (the default at the estimator API) picks 'pallas' exactly when it is
-the right choice — running on TPU with an unsharded data axis — and 'xla'
-otherwise. Callers that auto-resolved to 'pallas' fall back to 'xla' with a
+the right choice — running on TPU with an unsharded data axis or a
+full-batch fit — and 'xla' otherwise. Callers that auto-resolved to 'pallas' fall back to 'xla' with a
 loud warning if the kernel program fails to build, so an exotic
 configuration can never make the *default* path worse than the reference
 semantics ('xla' is always available).
@@ -28,15 +30,20 @@ from bayesnf_tpu.parallel import mesh as mesh_lib
 BACKENDS = ('xla', 'pallas', 'auto')
 
 
-def resolve_backend(backend: str, mesh) -> str:
-  """Resolve 'auto' to a concrete trainer backend for this mesh/platform."""
+def resolve_backend(backend: str, mesh, full_batch: bool = False) -> str:
+  """Resolve 'auto' to a concrete trainer backend for this mesh/platform.
+
+  Pallas is eligible on TPU when the data axis is unsharded, or — for
+  full-batch training — when it is sharded (the fused kernel runs per row
+  shard and losses/grads are psum'd over 'data'). Minibatch SGD with a
+  sharded data axis needs the XLA backend (global permutation gather).
+  """
   if backend not in BACKENDS:
     raise ValueError(f'Unknown backend: {backend!r} (expected {BACKENDS}).')
   if backend != 'auto':
     return backend
-  if (
-      jax.default_backend() == 'tpu'
-      and mesh.shape[mesh_lib.DATA_AXIS] == 1
+  if jax.default_backend() == 'tpu' and (
+      mesh.shape[mesh_lib.DATA_AXIS] == 1 or full_batch
   ):
     return 'pallas'
   return 'xla'

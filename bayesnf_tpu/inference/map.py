@@ -199,21 +199,38 @@ def _make_pallas_train_fn(
   Differences from the XLA path: the loss/grad is computed for the whole
   (local) ensemble at once — encode via vmap, MLP via
   `ops.fused_mlp.fused_field_mlp` (custom VJP) — and the program is wrapped
-  in `jax.shard_map` over the mesh's 'ens' axis (Pallas calls cannot be
-  GSPMD-partitioned automatically). Requires data_devices == 1.
+  in `jax.shard_map` over the mesh (Pallas calls cannot be
+  GSPMD-partitioned automatically).
+
+  A data axis > 1 is supported for FULL-BATCH training (the large-N regime
+  the axis exists for): each device runs the kernel on its row shard and
+  the per-member losses/gradients are `psum`'d over 'data' — exact, since
+  the loss is a sum over rows. Minibatch SGD with a sharded data axis
+  stays on the XLA backend (the per-member permutation gather is global).
   """
   from bayesnf_tpu.ops import fused_mlp
 
-  if mesh.shape[mesh_lib.DATA_AXIS] != 1:
-    raise ValueError("backend='pallas' requires a mesh with data axis 1.")
+  data_shards = mesh.shape[mesh_lib.DATA_AXIS]
+  full_batch = batch_size == data_size
+  if data_shards != 1 and not full_batch:
+    raise ValueError(
+        "backend='pallas' with a sharded data axis supports full-batch "
+        'training only (minibatch permutation is a global gather); use '
+        "batch_size=None or backend='xla'."
+    )
+  if data_size % data_shards != 0:
+    raise ValueError(
+        f'{data_size=} must divide evenly over the data axis '
+        f'({data_shards} shards) for the pallas backend.'
+    )
+  local_rows = data_size // data_shards
 
   optimizer = optax.adam(learning_rate)
   num_batches = data_size // batch_size
   d = config.num_inputs
   num_w = config.depth + 1
-  full_batch = batch_size == data_size
   if tile is None:
-    tile = fused_mlp.pick_tile(config.width, batch_size)
+    tile = fused_mlp.pick_tile(config.width, min(batch_size, local_rows))
 
   def fused_losses_and_grads(params_b, aug_b, y_b):
     """Losses and grads via the single-pass fused train kernel.
@@ -266,6 +283,12 @@ def _make_pallas_train_fn(
     grads = field_lib.scatter_fused_train_grads(
         config, dlsa, dfs, dws, dbs, dscales, dlogit, dobs
     )
+    if data_shards > 1:
+      # Each device saw only its row shard; the loss is a sum over rows,
+      # so summing losses/grads over 'data' is exact. The prior term is
+      # added after the reduction so it counts once per member.
+      losses = jax.lax.psum(losses, mesh_lib.DATA_AXIS)
+      grads = [jax.lax.psum(g, mesh_lib.DATA_AXIS) for g in grads]
     if prior_weight != 0.0:
       prior_losses, prior_grads = jax.vmap(
           jax.value_and_grad(
@@ -321,7 +344,9 @@ def _make_pallas_train_fn(
 
   num_leaves = len(field_lib.param_specs(config))
   p_ens = jax.sharding.PartitionSpec(mesh_lib.ENSEMBLE_AXIS)
-  p_rep = jax.sharding.PartitionSpec()
+  # Rows shard over 'data' (replication when the axis is 1).
+  p_rows_t = jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
+  p_rows = jax.sharding.PartitionSpec(mesh_lib.DATA_AXIS)
   params_spec = (p_ens,) * num_leaves
   opt_spec = jax.tree_util.tree_map(
       lambda _: p_ens,
@@ -332,7 +357,7 @@ def _make_pallas_train_fn(
   sharded = jax.shard_map(
       shard_train,
       mesh=mesh,
-      in_specs=(params_spec, opt_spec, p_ens, p_rep, p_rep),
+      in_specs=(params_spec, opt_spec, p_ens, p_rows_t, p_rows),
       out_specs=(params_spec, opt_spec, p_ens, p_ens),
       # Pallas out_shapes carry no varying-mesh-axes metadata; skip the check.
       check_vma=False,
@@ -382,9 +407,10 @@ def ensemble_map(
       with bf16 operands), 'bf16' (explicit bf16 MXU operands, f32
       parameters and accumulation), or 'highest' (multi-pass true-f32
       MXU arithmetic, ~2-3x slower matmuls).
-    backend: 'xla', 'pallas' (fused Pallas MLP kernels via shard_map over
-      the 'ens' axis; requires data axis 1), or 'auto' (pallas on TPU
-      when the mesh allows it, with loud fallback to xla on kernel build
+    backend: 'xla', 'pallas' (fused Pallas MLP kernels via shard_map;
+      a sharded data axis is supported for full-batch training, where
+      losses/grads psum over 'data'), or 'auto' (pallas on TPU when the
+      mesh/batch allow it, with loud fallback to xla on kernel build
       failure; xla otherwise).
 
   Returns:
@@ -396,12 +422,14 @@ def ensemble_map(
 
   if mesh is None:
     mesh = mesh_lib.default_mesh()
-  auto_resolved = backend == 'auto'
-  backend = backends.resolve_backend(backend, mesh)
-  multiproc = dist_lib.is_multiprocess_mesh(mesh)
   data_size = int(target.shape[0])
   if batch_size is None or batch_size > data_size:
     batch_size = data_size
+  auto_resolved = backend == 'auto'
+  backend = backends.resolve_backend(
+      backend, mesh, full_batch=batch_size == data_size
+  )
+  multiproc = dist_lib.is_multiprocess_mesh(mesh)
 
   padded = mesh_lib.pad_ensemble_size(ensemble_size, mesh)
   init_seed, opt_seed = jax.random.split(seed, 2)

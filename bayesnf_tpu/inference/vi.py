@@ -185,21 +185,34 @@ def _make_pallas_vi_fn(
   `_make_vi_fn` exactly, so the two backends agree up to matmul
   reassociation.
 
-  Wrapped in `jax.shard_map` over the mesh's 'ens' axis (Pallas calls are
-  not GSPMD-partitionable); requires data axis 1.
+  Wrapped in `jax.shard_map` over the mesh (Pallas calls are not
+  GSPMD-partitionable). A data axis > 1 is supported for full-batch
+  training: the kernel runs per row shard and the negative log-likelihood
+  and its gradients psum over 'data' inside the custom-VJP wrapper.
   """
   from bayesnf_tpu.ops import fused_mlp
 
-  if mesh.shape[mesh_lib.DATA_AXIS] != 1:
-    raise ValueError("backend='pallas' requires a mesh with data axis 1.")
+  data_shards = mesh.shape[mesh_lib.DATA_AXIS]
+  full_batch = batch_size == data_size
+  if data_shards != 1 and not full_batch:
+    raise ValueError(
+        "backend='pallas' with a sharded data axis supports full-batch "
+        'training only (minibatch permutation is a global gather); use '
+        "batch_size=None or backend='xla'."
+    )
+  if data_size % data_shards != 0:
+    raise ValueError(
+        f'{data_size=} must divide evenly over the data axis '
+        f'({data_shards} shards) for the pallas backend.'
+    )
+  local_rows = data_size // data_shards
 
   optimizer = optax.adam(learning_rate)
   d = config.num_inputs
   num_w = config.depth + 1
   lik_scale = (data_size / batch_size) / kl_weight
-  full_batch = batch_size == data_size
   if tile is None:
-    tile = fused_mlp.pick_tile(config.width, batch_size)
+    tile = fused_mlp.pick_tile(config.width, min(batch_size, local_rows))
 
   def make_kernel_nll(aug_bt, y_b):
     """lik_scale * -loglik as a custom-VJP op over the fused train kernel.
@@ -252,10 +265,17 @@ def _make_pallas_vi_fn(
 
     @jax.custom_vjp
     def kernel_nll(z_f):
-      return run_kernel(z_f)[0]
+      losses = run_kernel(z_f)[0]
+      if data_shards > 1:
+        losses = jax.lax.psum(losses, mesh_lib.DATA_AXIS)
+      return losses
 
     def fwd(z_f):
       losses, dlsa, dfs, dws, dbs, dscales, dlogit, dobs = run_kernel(z_f)
+      if data_shards > 1:
+        # Row shards: the NLL is a sum over rows, so losses psum here and
+        # the (local) gradient residuals psum after cotangent scaling.
+        losses = jax.lax.psum(losses, mesh_lib.DATA_AXIS)
       return losses, (dlsa, dfs, dws, dbs, dscales, dlogit, dobs)
 
     def bwd(res, g):
@@ -264,7 +284,10 @@ def _make_pallas_vi_fn(
           config, dlsa, dfs, dws, dbs, dscales, dlogit, dobs
       )
       def scaled(grad):
-        return grad * g.reshape((-1,) + (1,) * (grad.ndim - 1))
+        out = grad * g.reshape((-1,) + (1,) * (grad.ndim - 1))
+        if data_shards > 1:
+          out = jax.lax.psum(out, mesh_lib.DATA_AXIS)
+        return out
       return (tuple(scaled(gr) for gr in grads),)
 
     kernel_nll.defvjp(fwd, bwd)
@@ -330,7 +353,9 @@ def _make_pallas_vi_fn(
 
   num_leaves = len(field_lib.param_specs(config))
   p_ens = jax.sharding.PartitionSpec(mesh_lib.ENSEMBLE_AXIS)
-  p_rep = jax.sharding.PartitionSpec()
+  # Rows shard over 'data' (replication when the axis is 1).
+  p_rows_t = jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
+  p_rows = jax.sharding.PartitionSpec(mesh_lib.DATA_AXIS)
   params_spec = (p_ens,) * num_leaves
   surr_spec = (params_spec, params_spec)
   opt_spec = jax.tree_util.tree_map(
@@ -343,7 +368,7 @@ def _make_pallas_vi_fn(
   sharded = jax.shard_map(
       shard_fit,
       mesh=mesh,
-      in_specs=(surr_spec, opt_spec, p_ens, p_rep, p_rep),
+      in_specs=(surr_spec, opt_spec, p_ens, p_rows_t, p_rows),
       out_specs=(surr_spec, opt_spec, p_ens, p_ens),
       check_vma=False,
   )
@@ -430,12 +455,14 @@ def fit_vi(
 
   if mesh is None:
     mesh = mesh_lib.default_mesh()
-  auto_resolved = backend == 'auto'
-  backend = backends.resolve_backend(backend, mesh)
-  multiproc = dist_lib.is_multiprocess_mesh(mesh)
   data_size = int(target.shape[0])
   if batch_size is None or batch_size > data_size:
     batch_size = data_size
+  auto_resolved = backend == 'auto'
+  backend = backends.resolve_backend(
+      backend, mesh, full_batch=batch_size == data_size
+  )
+  multiproc = dist_lib.is_multiprocess_mesh(mesh)
   distribution = likelihoods.LikelihoodDist(observation_model)
 
   padded = mesh_lib.pad_ensemble_size(ensemble_size, mesh)

@@ -62,7 +62,9 @@ def test_auto_is_xla_on_tpu_with_sharded_data(monkeypatch):
 def test_auto_pallas_build_failure_falls_back_to_xla(monkeypatch, capsys):
   """A kernel-build failure under 'auto' retries the chunk on xla, loudly."""
   monkeypatch.setattr(
-      backends, 'resolve_backend', lambda b, m: 'pallas' if b == 'auto' else b
+      backends,
+      'resolve_backend',
+      lambda b, m, **kw: 'pallas' if b == 'auto' else b,
   )
 
   def broken_pallas(*args, **kwargs):

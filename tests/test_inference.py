@@ -292,6 +292,39 @@ class TestPallasBackend:
     assert np.all(np.isfinite(losses))
     assert losses[:, -1].mean() < losses[:, 0].mean()
 
+  def test_data_sharded_full_batch_matches_xla(self):
+    """Fused kernels on an ('ens' x 'data') mesh: per-shard kernel + psum."""
+    config = _small_config(width=16, depth=2)
+    x, y = _small_data(n=96)
+    mesh = mesh_lib.default_mesh(data_devices=2)
+    common = dict(
+        aug_features=_aug(config, x), target=y, config=config,
+        distribution=likelihoods.LikelihoodDist.NORMAL, ensemble_size=2,
+        learning_rate=0.01, num_epochs=8, seed=jax.random.PRNGKey(0),
+        mesh=mesh,
+    )
+    p_x, l_x = map_lib.ensemble_map(backend='xla', **common)
+    p_p, l_p = map_lib.ensemble_map(backend='pallas', **common)
+    l_x, l_p = np.asarray(l_x), np.asarray(l_p)
+    np.testing.assert_allclose(l_x[:, 0], l_p[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(l_x, l_p, rtol=1e-3)
+    for a, b in zip(p_x, p_p):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3
+      )
+
+  def test_data_sharded_minibatch_pallas_rejected(self):
+    config = _small_config(width=16, depth=1)
+    x, y = _small_data(n=96)
+    mesh = mesh_lib.default_mesh(data_devices=2)
+    with pytest.raises(ValueError, match='full-batch'):
+      map_lib.ensemble_map(
+          _aug(config, x), y, config, likelihoods.LikelihoodDist.NORMAL,
+          ensemble_size=2, learning_rate=0.01, num_epochs=2,
+          seed=jax.random.PRNGKey(0), batch_size=32, mesh=mesh,
+          backend='pallas',
+      )
+
   @pytest.mark.parametrize('dist', [
       likelihoods.LikelihoodDist.NB, likelihoods.LikelihoodDist.ZINB,
   ])
@@ -354,6 +387,24 @@ class TestPallasVIBackend:
     assert l_p.shape == (2, 6)
     np.testing.assert_allclose(l_x[:, 0], l_p[:, 0], rtol=1e-5)
     np.testing.assert_allclose(l_x, l_p, rtol=2e-3, atol=1e-3)
+
+  def test_vi_data_sharded_full_batch_matches_xla(self):
+    """VI fused kernels on an ('ens' x 'data') mesh: NLL/grad psum."""
+    config = _small_config(width=16, depth=1)
+    x, y = _small_data(n=96)
+    mesh = mesh_lib.default_mesh(data_devices=2)
+    common = self._common(config, x, y)
+    common['mesh'] = mesh
+    s_x, l_x, _ = vi_lib.fit_vi(backend='xla', **common)
+    s_p, l_p, _ = vi_lib.fit_vi(backend='pallas', **common)
+    l_x, l_p = np.asarray(l_x), np.asarray(l_p)
+    np.testing.assert_allclose(l_x[:, 0], l_p[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(l_x, l_p, rtol=1e-3, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_x),
+                    jax.tree_util.tree_leaves(s_p)):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3
+      )
 
   def test_vi_count_matches_xla_backend(self):
     config = _small_config(width=16, depth=1)
