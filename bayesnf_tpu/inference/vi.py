@@ -440,9 +440,10 @@ def fit_vi(
       with bf16 operands), 'bf16' (explicit bf16 MXU operands, f32
       accumulation), or 'highest' (multi-pass true-f32 MXU arithmetic).
     backend: 'xla', 'pallas' (fused Pallas MLP kernels with the MC-sample
-      axis folded into the kernel member axis; data axis must be 1), or
-      'auto' (pallas on TPU when the mesh allows it, with loud fallback
-      to xla on kernel build failure; xla otherwise).
+      axis folded into the kernel member axis; a sharded data axis is
+      supported for full-batch fits, where the NLL/grads psum over
+      'data'), or 'auto' (pallas on TPU when the mesh/batch allow it,
+      with loud fallback to xla on kernel build failure; xla otherwise).
 
   Returns:
     (surrogate, losses, draws):
