@@ -35,8 +35,9 @@ def resolve_backend(backend: str, mesh, full_batch: bool = False) -> str:
 
   Pallas is eligible on TPU when the data axis is unsharded, or — for
   full-batch training — when it is sharded (the fused kernel runs per row
-  shard and losses/grads are psum'd over 'data'). Minibatch SGD with a
-  sharded data axis needs the XLA backend (global permutation gather).
+  shard and losses/grads are psum'd over 'data'; any N — uneven rows pad
+  and each shard masks its tail in-kernel). Minibatch SGD with a sharded
+  data axis needs the XLA backend (global permutation gather).
   """
   if backend not in BACKENDS:
     raise ValueError(f'Unknown backend: {backend!r} (expected {BACKENDS}).')

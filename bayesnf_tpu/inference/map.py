@@ -52,6 +52,7 @@ def _make_train_fn(
     mesh,
     precision: str = 'f32',
     grad_row_chunk: int = 8192,
+    row_pad: int = 0,
 ):
   """Build the jitted ensemble training program for one static config.
 
@@ -66,6 +67,11 @@ def _make_train_fn(
   (width, chunk) buffer instead of (width, batch), which keeps arbitrarily
   large batches (e.g. the sst config's 221k-row full batch x 64 members)
   inside HBM.
+
+  `row_pad`: trailing padding rows the caller appended to `aug_t`/`target`
+  so the row count divides the mesh's data axis (N % data_devices != 0).
+  Pad rows are excluded exactly: a zero weight removes them from the
+  full-batch loss, and the minibatch permutation never indexes them.
   """
   optimizer = optax.adam(learning_rate)
   num_batches = data_size // batch_size
@@ -74,7 +80,9 @@ def _make_train_fn(
   }[precision]
   d = config.num_inputs
   lik_scale = data_size / batch_size
-  num_chunks = max(1, -(-batch_size // grad_row_chunk))
+  full_batch = batch_size == data_size
+  step_rows = batch_size + row_pad if full_batch else batch_size
+  num_chunks = max(1, -(-step_rows // grad_row_chunk))
   padded_rows = num_chunks * grad_row_chunk
 
   def chunk_loglik(params, aug_ct, y_c, w_c):
@@ -90,18 +98,22 @@ def _make_train_fn(
       return jnp.zeros((), jnp.float32)
     return -prior_weight * priors.prior_log_prob(config, params)
 
-  def step_value_and_grad(params, aug_bt, y_b):
-    """Loss and gradient for one SGD batch via chunked accumulation."""
+  def step_value_and_grad(params, aug_bt, y_b, w_b):
+    """Loss and gradient for one SGD batch via chunked accumulation.
+
+    `w_b` is an optional (step_rows,) validity weight vector (None when
+    every row is real).
+    """
     if num_chunks == 1:
       def whole(params):
-        return chunk_loglik(params, aug_bt, y_b, None) + prior_loss(params)
+        return chunk_loglik(params, aug_bt, y_b, w_b) + prior_loss(params)
 
       return jax.value_and_grad(whole)(params)
 
-    pad = padded_rows - batch_size
+    pad = padded_rows - step_rows
     aug_p = jnp.pad(aug_bt, ((0, 0), (0, pad)))
     y_p = jnp.pad(y_b, (0, pad))
-    w_p = jnp.pad(jnp.ones_like(y_b), (0, pad))
+    w_p = jnp.pad(jnp.ones_like(y_b) if w_b is None else w_b, (0, pad))
     aug_c = jnp.moveaxis(
         aug_p.reshape(-1, num_chunks, grad_row_chunk), 1, 0
     )
@@ -125,10 +137,18 @@ def _make_train_fn(
     return loss, grads
 
   def member_train(params, opt_state, key, aug_t, target):
+    # Validity weights for the stored rows: zero for the caller's padding
+    # tail (present only on full-batch fits over an uneven data axis).
+    row_w = (
+        (jnp.arange(step_rows) < data_size).astype(jnp.float32)
+        if row_pad and full_batch
+        else None
+    )
+
     def one_step(carry, batch):
       params, opt_state = carry
       aug_bt, y_b = batch
-      loss, grads = step_value_and_grad(params, aug_bt, y_b)
+      loss, grads = step_value_and_grad(params, aug_bt, y_b, row_w)
       updates, opt_state = optimizer.update(grads, opt_state)
       params = optax.apply_updates(params, updates)
       return (params, opt_state), loss
@@ -205,7 +225,9 @@ def _make_pallas_train_fn(
   A data axis > 1 is supported for FULL-BATCH training (the large-N regime
   the axis exists for): each device runs the kernel on its row shard and
   the per-member losses/gradients are `psum`'d over 'data' — exact, since
-  the loss is a sum over rows. Minibatch SGD with a sharded data axis
+  the loss is a sum over rows. Any N works: rows pad up to the shard
+  multiple and each shard masks its own padded tail inside the kernel via
+  a dynamic valid-row count. Minibatch SGD with a sharded data axis
   stays on the XLA backend (the per-member permutation gather is global).
   """
   from bayesnf_tpu.ops import fused_mlp
@@ -218,12 +240,8 @@ def _make_pallas_train_fn(
         'training only (minibatch permutation is a global gather); use '
         "batch_size=None or backend='xla'."
     )
-  if data_size % data_shards != 0:
-    raise ValueError(
-        f'{data_size=} must divide evenly over the data axis '
-        f'({data_shards} shards) for the pallas backend.'
-    )
-  local_rows = data_size // data_shards
+  row_pad = (-data_size) % data_shards
+  local_rows = (data_size + row_pad) // data_shards
 
   optimizer = optax.adam(learning_rate)
   num_batches = data_size // batch_size
@@ -232,7 +250,7 @@ def _make_pallas_train_fn(
   if tile is None:
     tile = fused_mlp.pick_tile(config.width, min(batch_size, local_rows))
 
-  def fused_losses_and_grads(params_b, aug_b, y_b):
+  def fused_losses_and_grads(params_b, aug_b, y_b, n_valid=None):
     """Losses and grads via the single-pass fused train kernel.
 
     One Pallas program per step, any observation model: in-kernel encode
@@ -278,6 +296,7 @@ def _make_pallas_train_fn(
             obs_raw,
             y_b,
             precision=precision,
+            n_valid=n_valid,
         )
     )
     grads = field_lib.scatter_fused_train_grads(
@@ -300,10 +319,19 @@ def _make_pallas_train_fn(
     return losses, tuple(grads)
 
   def shard_train(params_b, opt_b, keys_b, aug_t, target):
+    if row_pad:
+      # Row shards are unequal when N % shards != 0: shards hold
+      # `local_rows` stored rows, the last `row_pad` of the final shard
+      # being padding the kernel must mask (see fused_train's n_valid).
+      shard = jax.lax.axis_index(mesh_lib.DATA_AXIS)
+      n_valid = jnp.clip(data_size - shard * local_rows, 0, local_rows)
+    else:
+      n_valid = None
+
     def one_step(carry, batch):
       params_b, opt_b = carry
       aug_b, y_b = batch
-      losses, grads = fused_losses_and_grads(params_b, aug_b, y_b)
+      losses, grads = fused_losses_and_grads(params_b, aug_b, y_b, n_valid)
       updates, opt_b = jax.vmap(optimizer.update)(grads, opt_b)
       params_b = optax.apply_updates(params_b, updates)
       return (tuple(params_b), opt_b), losses
@@ -449,6 +477,15 @@ def ensemble_map(
   aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
   target = jnp.asarray(target, dtype=jnp.float32)
 
+  # An uneven data axis (N % data_devices != 0) pads the stored rows up to
+  # the shard multiple; both backends exclude the padding exactly (zero
+  # weights on 'xla', an in-kernel valid-row mask on 'pallas'), and the
+  # minibatch permutation never indexes it.
+  row_pad = (-data_size) % mesh.shape[mesh_lib.DATA_AXIS]
+  if row_pad:
+    aug_t = jnp.pad(aug_t, ((0, 0), (0, row_pad)))
+    target = jnp.pad(target, (0, row_pad))
+
   num_epochs = int(num_epochs)
   start_epoch = 0
   loss_chunks = []
@@ -522,6 +559,7 @@ def ensemble_map(
         float(prior_weight),
         mesh,
         precision,
+        row_pad=row_pad,
     )
 
   epoch = start_epoch

@@ -82,33 +82,48 @@ def _make_vi_fn(
     kl_weight: float,
     mesh,
     precision: str = 'f32',
+    row_pad: int = 0,
 ):
-  """Build the jitted ensemble-VI program for one static config."""
+  """Build the jitted ensemble-VI program for one static config.
+
+  `row_pad`: trailing padding rows the caller appended so the stored rows
+  divide the mesh's data axis; excluded from the likelihood via zero
+  weights (full batch) or by never being indexed (minibatch permutation).
+  """
   optimizer = optax.adam(learning_rate)
   d = config.num_inputs
   compute_dtype = {
       'f32': None, 'bf16': jnp.bfloat16, 'highest': 'highest'
   }[precision]
+  full_batch = batch_size == data_size
 
-  def unnormalized_target(z, aug_bt, y_b):
+  def unnormalized_target(z, aug_bt, y_b, w_b):
     # Features-major layout (rows on the TPU lane axis), as in the MAP path.
     pred = field_lib.apply_field_t(
         config, z, aug_bt[:d], aug_bt[d:], compute_dtype=compute_dtype
     )
-    loglik = likelihoods.log_likelihood(distribution, z, pred, y_b)
+    loglik = likelihoods.log_likelihood(
+        distribution, z, pred, y_b, weights=w_b
+    )
     return priors.prior_log_prob(config, z) + (
         loglik * (data_size / batch_size) / kl_weight
     )
 
   def member_fit(surrogate, opt_state, key, aug_t, target):
-    def elbo_loss(surrogate, sample_key, aug_bt, y_b):
+    row_w = (
+        (jnp.arange(data_size + row_pad) < data_size).astype(jnp.float32)
+        if row_pad and full_batch
+        else None
+    )
+
+    def elbo_loss(surrogate, sample_key, aug_bt, y_b, w_b):
       locs, raw_scales = surrogate
       scales = surrogate_scales(raw_scales)
       z_draws = _surrogate_sample(locs, scales, sample_key, (sample_size,))
 
       def one_draw(z):
         return _surrogate_log_prob(locs, scales, z) - unnormalized_target(
-            z, aug_bt, y_b
+            z, aug_bt, y_b, w_b
         )
 
       return jnp.mean(jax.vmap(one_draw)(z_draws))
@@ -122,7 +137,7 @@ def _make_vi_fn(
       else:
         aug_bt, y_b = aug_t, target
       loss, grads = jax.value_and_grad(elbo_loss)(
-          surrogate, sample_key, aug_bt, y_b
+          surrogate, sample_key, aug_bt, y_b, row_w
       )
       updates, opt_state = optimizer.update(grads, opt_state)
       surrogate = optax.apply_updates(surrogate, updates)
@@ -188,7 +203,9 @@ def _make_pallas_vi_fn(
   Wrapped in `jax.shard_map` over the mesh (Pallas calls are not
   GSPMD-partitionable). A data axis > 1 is supported for full-batch
   training: the kernel runs per row shard and the negative log-likelihood
-  and its gradients psum over 'data' inside the custom-VJP wrapper.
+  and its gradients psum over 'data' inside the custom-VJP wrapper. Any N
+  works — the caller pads rows to the shard multiple and each shard masks
+  its padded tail via the kernel's dynamic valid-row count.
   """
   from bayesnf_tpu.ops import fused_mlp
 
@@ -200,12 +217,8 @@ def _make_pallas_vi_fn(
         'training only (minibatch permutation is a global gather); use '
         "batch_size=None or backend='xla'."
     )
-  if data_size % data_shards != 0:
-    raise ValueError(
-        f'{data_size=} must divide evenly over the data axis '
-        f'({data_shards} shards) for the pallas backend.'
-    )
-  local_rows = data_size // data_shards
+  row_pad = (-data_size) % data_shards
+  local_rows = (data_size + row_pad) // data_shards
 
   optimizer = optax.adam(learning_rate)
   d = config.num_inputs
@@ -214,7 +227,7 @@ def _make_pallas_vi_fn(
   if tile is None:
     tile = fused_mlp.pick_tile(config.width, min(batch_size, local_rows))
 
-  def make_kernel_nll(aug_bt, y_b):
+  def make_kernel_nll(aug_bt, y_b, n_valid=None):
     """lik_scale * -loglik as a custom-VJP op over the fused train kernel.
 
     The kernel (`fused_mlp.fused_train`, any observation model) produces
@@ -261,6 +274,7 @@ def _make_pallas_vi_fn(
           obs_raw,
           y_b,
           precision=precision,
+          n_valid=n_valid,
       )
 
     @jax.custom_vjp
@@ -293,7 +307,7 @@ def _make_pallas_vi_fn(
     kernel_nll.defvjp(fwd, bwd)
     return kernel_nll
 
-  def elbo_losses(surrogate, sample_keys, aug_bt, y_b):
+  def elbo_losses(surrogate, sample_keys, aug_bt, y_b, n_valid=None):
     """(E_local,) per-member negative ELBO (mean over MC draws)."""
     locs, raw_scales = surrogate
     scales = surrogate_scales(raw_scales)
@@ -313,7 +327,7 @@ def _make_pallas_vi_fn(
     else:
       aug_f, y_f = aug_bt, y_b
 
-    nll = make_kernel_nll(aug_f, y_f)(z_f)  # (ES,) = -loglik * lik_scale
+    nll = make_kernel_nll(aug_f, y_f, n_valid)(z_f)  # (ES,) -loglik*lik_scale
     prior = jax.vmap(lambda p: priors.prior_log_prob(config, p))(z_f)
     target = (prior - nll).reshape(e_local, sample_size)
     logq = jax.vmap(
@@ -323,6 +337,13 @@ def _make_pallas_vi_fn(
     return (logq - target).mean(axis=1)
 
   def shard_fit(surrogate, opt_state, keys, aug_t, target):
+    if row_pad:
+      # Uneven row shards: each shard masks its own padded tail in-kernel.
+      shard = jax.lax.axis_index(mesh_lib.DATA_AXIS)
+      n_valid = jnp.clip(data_size - shard * local_rows, 0, local_rows)
+    else:
+      n_valid = None
+
     def one_step(carry, _):
       surrogate, opt_state, keys = carry
       split = jax.vmap(functools.partial(jax.random.split, num=3))(keys)
@@ -336,7 +357,7 @@ def _make_pallas_vi_fn(
         aug_bt, y_b = aug_t[:, idx].transpose(1, 0, 2), target[idx]
 
       def total(surrogate):
-        losses = elbo_losses(surrogate, sample_keys, aug_bt, y_b)
+        losses = elbo_losses(surrogate, sample_keys, aug_bt, y_b, n_valid)
         return losses.sum(), losses
 
       (_, losses), grads = jax.value_and_grad(total, has_aux=True)(surrogate)
@@ -476,6 +497,13 @@ def fit_vi(
   aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
   target = jnp.asarray(target, dtype=jnp.float32)
 
+  # Uneven data axis: pad stored rows to the shard multiple; both backends
+  # exclude the padding exactly (see ensemble_map).
+  row_pad = (-data_size) % mesh.shape[mesh_lib.DATA_AXIS]
+  if row_pad:
+    aug_t = jnp.pad(aug_t, ((0, 0), (0, row_pad)))
+    target = jnp.pad(target, (0, row_pad))
+
   num_steps = int(num_epochs)
   start_step = 0
   loss_chunks = []
@@ -557,6 +585,7 @@ def fit_vi(
         float(kl_weight),
         mesh,
         precision,
+        row_pad=row_pad,
     )
 
   step = start_step

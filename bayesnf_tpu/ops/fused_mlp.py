@@ -1029,7 +1029,15 @@ def _train_kernel_raw(
   giving the Mosaic/LLO scheduler freedom to overlap one chunk's VPU
   phases (encode trig, activation blend, likelihood) with another's MXU
   matmuls. Numerics are unchanged up to sum reassociation.
+
+  `n_valid` is the count of real (non-padding) rows: a static int, or None
+  to read it from a leading (1, 1) SMEM ref — the dynamic form lets each
+  shard of a row-sharded mesh mask its own padded tail (shard_map runs one
+  program, but shards' real-row counts differ when N % shards != 0).
   """
+  if n_valid is None:
+    n_valid = refs[0][0, 0]
+    refs = refs[1:]
   x_ref = refs[0]
   refs = refs[1:]
   if has_seasonal:
@@ -1189,7 +1197,7 @@ def _train_kernel_raw(
 def fused_train(
     distribution, depth, tile, lik_scale, input_scales, fourier_degrees,
     interactions, x_t, seasonal_t, weights, biases, lsa, fs_raw, scales_raw,
-    logit, obs_raw, y, precision='f32', subtiles=None
+    logit, obs_raw, y, precision='f32', subtiles=None, n_valid=None
 ):
   """Fused training objective from RAW inputs: loss AND grads, any likelihood.
 
@@ -1231,6 +1239,11 @@ def fused_train(
       inside the kernel so one chunk's VPU phases can overlap another's
       MXU matmuls (None: BNF_FUSED_SUBTILES env var, default 1). Must
       divide `tile`. Numerics unchanged up to sum reassociation.
+    n_valid: None (all N rows are real; the kernel's row mask covers only
+      the tile-size padding), or a traced int32 scalar giving the count of
+      real rows — rows at index >= n_valid contribute nothing to the loss
+      or any gradient. Used by row-sharded training where each shard's
+      real-row count differs (N % shards != 0): pass the local count.
 
   Returns:
     (losses, dlsa, dfs_raw, dweights, dbiases, dscales_raw, dlogit,
@@ -1342,24 +1355,32 @@ def fused_train(
   # the kernel captures no array constants (d/d(lsa) is unchanged).
   lsa_eff = lsa + jnp.log(jnp.asarray(input_scales, jnp.float32))[None, :]
 
+  dynamic_n = n_valid is not None
+  nv_inputs, nv_specs = [], []
+  if dynamic_n:
+    nv_inputs = [jnp.asarray(n_valid, jnp.int32).reshape(1, 1)]
+    nv_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+
   outs = pl.pallas_call(
       _named_kernel(
           functools.partial(
-              _train_kernel_raw, depth, rsqrts, n, tile, subtiles,
+              _train_kernel_raw, depth, rsqrts,
+              None if dynamic_n else n, tile, subtiles,
               float(lik_scale), tuple(fourier_degrees),
               tuple(interactions), has_seasonal, _compute_dtype(precision),
               distribution,
           ),
           f'fused_train_{distribution.lower()}_raw'
           f'_{"xm" if x_t.ndim == 3 else "xs"}'
-          f'{"ym" if y_per_member else "ys"}_{precision}',
+          f'{"ym" if y_per_member else "ys"}_{precision}'
+          f'{"_dynN" if dynamic_n else ""}',
           # Body-only statics: same-shape calls with different values MUST
           # NOT share a compiled kernel.
-          float(lik_scale), n, tuple(fourier_degrees), tuple(interactions),
-          subtiles,
+          float(lik_scale), None if dynamic_n else n, tuple(fourier_degrees),
+          tuple(interactions), subtiles,
       ),
       grid=grid,
-      in_specs=in_specs + [
+      in_specs=nv_specs + in_specs + [
           *w_specs, *b_specs, col_spec(d_in), col_spec(g_dim), scales_spec,
           scalar_spec, col_spec(3), y_spec,
       ],
@@ -1373,6 +1394,7 @@ def fused_train(
       ),
       interpret=_interpret(),
   )(
+      *nv_inputs,
       *inputs,
       *weights,
       *[b[:, :, None] for b in biases],

@@ -59,6 +59,17 @@ def test_auto_is_xla_on_tpu_with_sharded_data(monkeypatch):
   assert backends.resolve_backend('auto', mesh) == 'xla'
 
 
+def test_auto_on_tpu_with_sharded_data_full_batch(monkeypatch):
+  """Full batch on a sharded data axis resolves to pallas (any N)."""
+  monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+  devices = np.array(jax.devices()).reshape(-1, 2)
+  mesh = jax.sharding.Mesh(
+      devices, (mesh_lib.ENSEMBLE_AXIS, mesh_lib.DATA_AXIS)
+  )
+  assert backends.resolve_backend('auto', mesh, full_batch=True) == 'pallas'
+  assert backends.resolve_backend('auto', mesh, full_batch=False) == 'xla'
+
+
 def test_auto_pallas_build_failure_falls_back_to_xla(monkeypatch, capsys):
   """A kernel-build failure under 'auto' retries the chunk on xla, loudly."""
   monkeypatch.setattr(

@@ -264,7 +264,7 @@ class TestFusedTrain:
     return losses_fn(params), jax.grad(total)(params)
 
   def _run_fused(self, distribution, config, params, x_t, seas, y, lik_scale,
-                 precision='f32', subtiles=None):
+                 precision='f32', subtiles=None, n_valid=None):
     from bayesnf_tpu.models import field as field_lib
 
     num_w = config.depth + 1
@@ -292,6 +292,7 @@ class TestFusedTrain:
         y,
         precision=precision,
         subtiles=subtiles,
+        n_valid=n_valid,
     )
     pairs = {
         'dlsa': (dlsa, field_lib.IDX_LOG_SCALE_ADJ),
@@ -341,6 +342,33 @@ class TestFusedTrain:
       np.testing.assert_allclose(
           np.asarray(got), want, rtol=grad_tol[0], atol=grad_tol[1],
           err_msg=name)
+
+  @pytest.mark.parametrize('distribution', ['NORMAL', 'NB', 'ZINB'])
+  def test_dynamic_n_valid_masks_padding(self, distribution):
+    """Junk rows past a traced n_valid contribute nothing — exact match.
+
+    The dynamic valid-row count is how row-sharded training masks each
+    shard's padded tail (N % shards != 0) inside one SPMD program.
+    """
+    config, params, x_t, seas, y, _ = self._setup(distribution=distribution)
+    n = x_t.shape[-1]
+    pad = 13
+    x_p = jnp.concatenate(
+        [x_t, jnp.full(x_t.shape[:-1] + (pad,), 9.9, x_t.dtype)], axis=-1)
+    seas_p = jnp.concatenate(
+        [seas, jnp.full(seas.shape[:-1] + (pad,), -9.9, seas.dtype)], axis=-1)
+    y_junk = 5.0 if distribution == 'NORMAL' else 17.0
+    y_p = jnp.concatenate([y, jnp.full(y.shape[:-1] + (pad,), y_junk)],
+                          axis=-1)
+    losses, pairs = self._run_fused(
+        distribution, config, params, x_t, seas, y, 1.25)
+    losses_d, pairs_d = self._run_fused(
+        distribution, config, params, x_p, seas_p, y_p, 1.25,
+        n_valid=jnp.int32(n))
+    np.testing.assert_array_equal(np.asarray(losses), np.asarray(losses_d))
+    for name, (got, _) in pairs.items():
+      np.testing.assert_array_equal(
+          np.asarray(got), np.asarray(pairs_d[name][0]), err_msg=name)
 
   @pytest.mark.parametrize('distribution', ['NORMAL', 'NB'])
   def test_subtiles_match_autodiff(self, distribution):

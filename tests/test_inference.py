@@ -313,6 +313,37 @@ class TestPallasBackend:
           np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3
       )
 
+  def test_data_sharded_uneven_rows_full_batch(self):
+    """N % data_shards != 0: padded shards + in-kernel valid-row masking.
+
+    The sharded-pallas and sharded-xla results must both match an
+    unsharded-xla fit of the same seed (the unpadded ground truth).
+    """
+    config = _small_config(width=16, depth=1)
+    x, y = _small_data(n=97)  # 97 % 2 == 1
+    common = dict(
+        aug_features=_aug(config, x), target=y, config=config,
+        distribution=likelihoods.LikelihoodDist.NORMAL, ensemble_size=2,
+        learning_rate=0.01, num_epochs=8, seed=jax.random.PRNGKey(0),
+    )
+    mesh2 = mesh_lib.default_mesh(data_devices=2)
+    p_ref, l_ref = map_lib.ensemble_map(
+        backend='xla', mesh=mesh_lib.default_mesh(), **common
+    )
+    l_ref = np.asarray(l_ref)
+    for backend in ('xla', 'pallas'):
+      p_s, l_s = map_lib.ensemble_map(backend=backend, mesh=mesh2, **common)
+      l_s = np.asarray(l_s)
+      np.testing.assert_allclose(
+          l_ref[:, 0], l_s[:, 0], rtol=1e-5, err_msg=backend
+      )
+      np.testing.assert_allclose(l_ref, l_s, rtol=1e-3, err_msg=backend)
+      for a, b in zip(p_ref, p_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3,
+            err_msg=backend,
+        )
+
   def test_data_sharded_minibatch_pallas_rejected(self):
     config = _small_config(width=16, depth=1)
     x, y = _small_data(n=96)
@@ -405,6 +436,32 @@ class TestPallasVIBackend:
       np.testing.assert_allclose(
           np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3
       )
+
+  def test_vi_data_sharded_uneven_rows_full_batch(self):
+    """VI on an uneven data axis: padded shards, exact row exclusion."""
+    config = _small_config(width=16, depth=1)
+    x, y = _small_data(n=97)
+    common = self._common(config, x, y)
+    s_ref, l_ref, _ = vi_lib.fit_vi(
+        backend='xla', mesh=mesh_lib.default_mesh(), **common
+    )
+    l_ref = np.asarray(l_ref)
+    mesh2 = mesh_lib.default_mesh(data_devices=2)
+    for backend in ('xla', 'pallas'):
+      s_s, l_s, _ = vi_lib.fit_vi(backend=backend, mesh=mesh2, **common)
+      l_s = np.asarray(l_s)
+      np.testing.assert_allclose(
+          l_ref[:, 0], l_s[:, 0], rtol=1e-5, err_msg=backend
+      )
+      np.testing.assert_allclose(
+          l_ref, l_s, rtol=1e-3, atol=1e-4, err_msg=backend
+      )
+      for a, b in zip(jax.tree_util.tree_leaves(s_ref),
+                      jax.tree_util.tree_leaves(s_s)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3,
+            err_msg=backend,
+        )
 
   def test_vi_count_matches_xla_backend(self):
     config = _small_config(width=16, depth=1)
