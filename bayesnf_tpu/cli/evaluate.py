@@ -86,6 +86,12 @@ def run_experiment(
   for key in ('backend', 'precision'):
     if key in inference_config:
       fit_kwargs[key] = inference_config[key]
+  if inference_config.get('data_devices'):
+    from bayesnf_tpu.parallel import mesh as mesh_lib
+
+    fit_kwargs['mesh'] = mesh_lib.default_mesh(
+        data_devices=int(inference_config['data_devices'])
+    )
   if objective == 'vi':
     fit_kwargs.update(
         kl_weight=inference_config.get('kl_weight', 1.0),
@@ -169,6 +175,11 @@ def main(argv=None):
       '--precision', default=None, choices=['f32', 'bf16', 'highest'],
       help='Matmul precision (all objectives, both backends).',
   )
+  parser.add_argument(
+      '--data_devices', type=int, default=None,
+      help="Devices on the mesh's 'data' axis (rows sharded; the rest go "
+      "to 'ens'). Default: all devices on 'ens'.",
+  )
   args = parser.parse_args(argv)
 
   data_cfg = registry.dataset_config(args.dataset)
@@ -181,6 +192,8 @@ def main(argv=None):
       inference['backend'] = args.backend
     if args.precision:
       inference['precision'] = args.precision
+    if args.data_devices:
+      inference['data_devices'] = args.data_devices
     sid = data_cfg['series_id_fmt'](series_id)
     print(f'{args.dataset} series {sid} ({args.objective})')
     run_experiment(

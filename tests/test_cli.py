@@ -65,6 +65,28 @@ def test_run_experiment_artifacts(tmp_path, objective):
   assert (pred_df.yhat_p50 <= pred_df.yhat_upper).all()
 
 
+def test_run_experiment_data_devices(tmp_path):
+  """`data_devices` in the inference config shards rows over the mesh.
+
+  Chickenpox series 8 has 100 train rows — 100 % 8 != 0, so this also
+  exercises the uneven-row padding through the CLI path.
+  """
+  cfg = _mini_inference('map')
+  cfg.update(data_devices=8, batch_size=None)
+  evaluate.run_experiment(
+      dataset='chickenpox',
+      data_root=_DATA_ROOT,
+      series_id='8',
+      output_dir=str(tmp_path),
+      objective='map',
+      seed=jax.random.PRNGKey(0),
+      model_config=_mini_model('map'),
+      inference_config=cfg,
+  )
+  loss_df = pd.read_csv(str(tmp_path / 'bnf-map.chickenpox.8.loss.csv'))
+  assert np.all(np.isfinite(loss_df.values))
+
+
 def test_registry_covers_reference_suite():
   assert sorted(registry.REGISTRY) == [
       'M3Month', 'air', 'air_quality', 'chickenpox', 'coprecip', 'sst', 'wind'
