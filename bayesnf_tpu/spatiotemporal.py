@@ -248,6 +248,10 @@ class BayesianNeuralFieldEstimator:
       (means, quantiles): means has the ensemble leading dims
       `(num_devices, ensemble_size // num_devices, len(table))` (flatten
       with `np.row_stack`); each quantile array has length `len(table)`.
+
+    A fit over an explicit mesh predicts over that mesh too: prediction
+    rows shard across every device (row-parallel, collective-free after a
+    small parameter all-gather).
     """
     test_data = self.data_handler.get_test(table)
     return predict_lib.predict_bnf(
@@ -258,6 +262,7 @@ class BayesianNeuralFieldEstimator:
         quantiles=quantiles,
         ensemble_dims=self._ensemble_dims,
         approximate_quantiles=approximate_quantiles,
+        mesh=self.mesh_,
     )
 
   def fit(self, table, seed, **kwargs):

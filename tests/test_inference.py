@@ -220,6 +220,27 @@ class TestPredict:
     assert q50.shape == (90,)
     assert np.all(qlo <= q50) and np.all(q50 <= qhi)
 
+  def test_mesh_row_parallel_matches_single_program(self):
+    """predict_bnf(mesh=...) shards chunk rows over all devices — same
+    numbers as the meshless program (N=90 also exercises uneven pad)."""
+    config = _small_config()
+    x, y = _small_data(n=90)
+    params = self._fit(config, x, y)
+    m1, q1 = predict_lib.predict_bnf(
+        x, 'NORMAL', params, config, (0.5, 0.975), ensemble_dims=2,
+        chunk_size=32,
+    )
+    for mesh in (mesh_lib.default_mesh(), mesh_lib.default_mesh(data_devices=4)):
+      m2, q2 = predict_lib.predict_bnf(
+          x, 'NORMAL', params, config, (0.5, 0.975), ensemble_dims=2,
+          chunk_size=32, mesh=mesh,
+      )
+      np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+      for a, b in zip(q1, q2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+
   def test_approximate_close_to_exact(self):
     config = _small_config()
     x, y = _small_data(n=80)
