@@ -27,6 +27,7 @@ from bayesnf_tpu.inference import quantiles as quantiles_lib
 from bayesnf_tpu.models import distributions as dist_lib
 from bayesnf_tpu.models import field as field_lib
 from bayesnf_tpu.models import likelihoods
+from bayesnf_tpu.parallel import distributed as distributed_lib
 from bayesnf_tpu.parallel import mesh as mesh_lib
 
 
@@ -207,6 +208,13 @@ def predict_bnf(
 
   features = jnp.asarray(features, dtype=jnp.float32)
   params = tuple(jnp.asarray(p) for p in params)
+  multiproc = mesh is not None and distributed_lib.is_multiprocess_mesh(mesh)
+  if multiproc:
+    # Every process holds the same full host values and contributes its
+    # shards; results gather back to full host arrays (as the trainers).
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    features = distributed_lib.make_global(features, rep)
+    params = tuple(distributed_lib.make_global(p, rep) for p in params)
   fn = _make_predict_fn(
       config,
       distribution,
@@ -217,4 +225,9 @@ def predict_bnf(
       mesh,
   )
   means, forecast_quantiles = fn(params, features)
+  if multiproc:
+    means = distributed_lib.host_value(means)
+    forecast_quantiles = tuple(
+        distributed_lib.host_value(q) for q in forecast_quantiles
+    )
   return means, list(forecast_quantiles)

@@ -36,6 +36,7 @@ def main():
 
   sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
   from bayesnf_tpu.inference import map as map_lib
+  from bayesnf_tpu.inference import predict as predict_lib
   from bayesnf_tpu.inference import vi as vi_lib
   from bayesnf_tpu.models import field as field_lib
   from bayesnf_tpu.models import likelihoods
@@ -74,6 +75,19 @@ def main():
       backend='xla',
   )
 
+  # Row-parallel prediction over the same multi-process mesh: every
+  # process must get the FULL (means, quantiles) host arrays back.
+  pred_means, pred_qs = predict_lib.predict_bnf(
+      x,
+      'NORMAL',
+      params,
+      config,
+      quantiles=(0.1, 0.9),
+      ensemble_dims=1,
+      chunk_size=32,
+      mesh=mesh,
+  )
+
   _, vi_losses, vi_draws = vi_lib.fit_vi(
       aug,
       jnp.asarray(y),
@@ -98,6 +112,9 @@ def main():
       'map_param_shapes': [list(np.shape(p)) for p in params],
       'vi_losses': np.asarray(vi_losses).tolist(),
       'vi_draw_sum': float(sum(np.sum(np.asarray(d)) for d in vi_draws)),
+      'predict_mean_shape': list(np.shape(pred_means)),
+      'predict_means': np.asarray(pred_means).ravel().tolist(),
+      'predict_quantiles': [np.asarray(q).tolist() for q in pred_qs],
   }
 
   if ckpt_dir is not None:

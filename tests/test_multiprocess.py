@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import pytest
 
 from bayesnf_tpu.inference import map as map_lib
+from bayesnf_tpu.inference import predict as predict_lib
 from bayesnf_tpu.inference import vi as vi_lib
 from bayesnf_tpu.models import field as field_lib
 from bayesnf_tpu.models import likelihoods
@@ -87,7 +88,7 @@ def _reference_fit(data_devices):
   aug = jnp.concatenate([jnp.asarray(x), seasonal], axis=-1)
   mesh = mesh_lib.default_mesh(data_devices=data_devices)
 
-  _, losses = map_lib.ensemble_map(
+  params, losses = map_lib.ensemble_map(
       aug, jnp.asarray(y), config, likelihoods.LikelihoodDist.NORMAL,
       ensemble_size=6, learning_rate=0.01, num_epochs=4,
       seed=jax.random.PRNGKey(0), batch_size=32, prior_weight=1.0,
@@ -99,7 +100,16 @@ def _reference_fit(data_devices):
       sample_size_divergence=2, sample_size_posterior=2, batch_size=32,
       mesh=mesh, backend='xla',
   )
-  return np.asarray(losses), np.asarray(vi_losses)
+  pred_means, pred_qs = predict_lib.predict_bnf(
+      x, 'NORMAL', params, config, quantiles=(0.1, 0.9),
+      ensemble_dims=1, chunk_size=32, mesh=mesh,
+  )
+  return (
+      np.asarray(losses),
+      np.asarray(vi_losses),
+      np.asarray(pred_means),
+      [np.asarray(q) for q in pred_qs],
+  )
 
 
 @pytest.mark.slow
@@ -127,14 +137,27 @@ def test_two_process_fit_matches_single_process(
   assert np.asarray(r0['map_losses']).shape == (6, 4)
   assert all(s[0] == 6 for s in r0['map_param_shapes'])
 
+  # Row-parallel predict over the multi-process mesh: both processes hold
+  # the full (means, quantiles) host arrays, identically.
+  assert r0['predict_mean_shape'] == [6, 96]
+  assert r0['predict_means'] == r1['predict_means']
+  assert r0['predict_quantiles'] == r1['predict_quantiles']
+
   # And the numbers match a single-process run of the same seeds on an
   # identically-shaped mesh (reduction order may differ when the data
   # axis is sharded, hence allclose rather than equality).
-  want_map, want_vi = _reference_fit(data_devices_per_host)
+  want_map, want_vi, want_means, want_qs = _reference_fit(
+      data_devices_per_host
+  )
   np.testing.assert_allclose(
       np.asarray(r0['map_losses']), want_map, rtol=1e-5
   )
   np.testing.assert_allclose(np.asarray(r0['vi_losses']), want_vi, rtol=1e-5)
+  np.testing.assert_allclose(
+      np.asarray(r0['predict_means']).reshape(6, 96), want_means, rtol=1e-4
+  )
+  for got_q, want_q in zip(r0['predict_quantiles'], want_qs):
+    np.testing.assert_allclose(np.asarray(got_q), want_q, rtol=1e-4)
 
   if ckpt_dir is not None:
     # Checkpoint/resume across the process boundary (process 0 writes, all
