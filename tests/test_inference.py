@@ -241,6 +241,33 @@ class TestPredict:
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
         )
 
+  def test_mesh_row_parallel_matches_single_program_nb(self):
+    """Count-likelihood predict (integer quantile root-find) over a mesh
+    matches the meshless program too."""
+    config = _small_config()
+    x, y = _small_data(n=70)
+    y_nb = np.round(np.exp(np.asarray(y) / 4.0)).astype(np.float32)
+    params, _ = map_lib.ensemble_map(
+        _aug(config, x), jnp.asarray(y_nb), config,
+        likelihoods.LikelihoodDist.NB,
+        ensemble_size=4, learning_rate=0.01, num_epochs=30,
+        seed=jax.random.PRNGKey(0),
+    )
+    params = tuple(
+        np.asarray(p).reshape((2, 2) + p.shape[1:]) for p in params
+    )
+    m1, q1 = predict_lib.predict_bnf(
+        x, 'NB', params, config, (0.5, 0.9), ensemble_dims=2, chunk_size=32,
+    )
+    m2, q2 = predict_lib.predict_bnf(
+        x, 'NB', params, config, (0.5, 0.9), ensemble_dims=2, chunk_size=32,
+        mesh=mesh_lib.default_mesh(data_devices=2),
+    )
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+    for a, b in zip(q1, q2):
+      # Integer-valued quantiles: must match exactly.
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
   def test_approximate_close_to_exact(self):
     config = _small_config()
     x, y = _small_data(n=80)
