@@ -213,6 +213,7 @@ def _make_pallas_train_fn(
     mesh,
     precision: str = 'f32',
     tile: int | None = None,
+    subtiles: int = 1,
 ):
   """Ensemble training step backed by the fused Pallas MLP kernels.
 
@@ -296,6 +297,7 @@ def _make_pallas_train_fn(
             obs_raw,
             y_b,
             precision=precision,
+            subtiles=subtiles,
             n_valid=n_valid,
         )
     )
@@ -508,6 +510,11 @@ def ensemble_map(
             data_size=data_size,
             prior_weight=float(prior_weight),
             precision=precision,
+            # The RESOLVED backend: 'auto' picks per-platform, and the two
+            # backends differ numerically up to matmul reassociation, so a
+            # resume must refuse to continue xla-written chunks on pallas
+            # (or vice versa) rather than silently mixing numerics.
+            backend=backend,
         ),
     )
     restored = checkpointer.restore_latest()
@@ -536,6 +543,8 @@ def ensemble_map(
 
   def make_train(chunk_epochs):
     if backend == 'pallas':
+      from bayesnf_tpu.ops import fused_mlp
+
       return _make_pallas_train_fn(
           config,
           distribution,
@@ -546,6 +555,9 @@ def ensemble_map(
           float(prior_weight),
           mesh,
           precision,
+          # Resolve the env var HERE so it participates in the factory's
+          # lru_cache key (a changed knob must not reuse a stale program).
+          subtiles=fused_mlp.resolve_subtiles(),
       )
     if backend != 'xla':
       raise ValueError(f'Unknown backend: {backend!r}')
@@ -563,31 +575,34 @@ def ensemble_map(
     )
 
   epoch = start_epoch
-  first_chunk = True
   while epoch < num_epochs:
     chunk = (
         num_epochs - epoch
         if checkpointer is None
         else min(checkpoint_every, num_epochs - epoch)
     )
-    try:
-      params, opt_state, member_keys, losses = make_train(chunk)(
-          tuple(params), opt_state, member_keys, aug_t, target
-      )
-    except Exception as err:  # pylint: disable=broad-except
-      # Auto-selected pallas may fail to *build* on an exotic config; the
-      # inputs are untouched (donation only consumes buffers once the
-      # compiled program executes), so retry the chunk on xla.
-      if not (first_chunk and auto_resolved and backend == 'pallas'):
-        raise
-      from bayesnf_tpu.inference import backends
-
-      backends.warn_pallas_fallback(err)
-      backend = 'xla'
-      params, opt_state, member_keys, losses = make_train(chunk)(
-          tuple(params), opt_state, member_keys, aug_t, target
-      )
-    first_chunk = False
+    if auto_resolved and backend == 'pallas':
+      # Auto-selected pallas may fail to *build* on an exotic config.
+      # Probe by tracing + compiling ahead-of-time — donated buffers are
+      # untouched until the compiled program executes, so the xla retry
+      # sees intact inputs; an *execution*-time failure past this point
+      # propagates unmasked (the donated inputs may already be consumed,
+      # and masking e.g. a runtime OOM behind an 'Array has been deleted'
+      # retry error would hide the actionable failure).
+      try:
+        train_fn = make_train(chunk).lower(
+            tuple(params), opt_state, member_keys, aug_t, target
+        ).compile()
+      except Exception as err:  # pylint: disable=broad-except
+        backends.warn_pallas_fallback(err)
+        backend = 'xla'
+        train_fn = make_train(chunk)
+      auto_resolved = False  # probe once; later chunks fail loudly
+    else:
+      train_fn = make_train(chunk)
+    params, opt_state, member_keys, losses = train_fn(
+        tuple(params), opt_state, member_keys, aug_t, target
+    )
     loss_chunks.append(dist_lib.host_value(losses))
     epoch += chunk
     # The final chunk is checkpointed too: re-invoking a completed run with

@@ -80,7 +80,7 @@ def _forecast_params_chunked(
     )
     params_flat = tuple(
         jax.lax.with_sharding_constraint(
-            p, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            p, mesh_lib.replicated_sharding(mesh)
         )
         for p in params_flat
     )
@@ -212,7 +212,7 @@ def predict_bnf(
   if multiproc:
     # Every process holds the same full host values and contributes its
     # shards; results gather back to full host arrays (as the trainers).
-    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    rep = mesh_lib.replicated_sharding(mesh)
     features = distributed_lib.make_global(features, rep)
     params = tuple(distributed_lib.make_global(p, rep) for p in params)
   fn = _make_predict_fn(

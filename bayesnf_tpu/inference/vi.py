@@ -189,6 +189,7 @@ def _make_pallas_vi_fn(
     mesh,
     precision: str = 'f32',
     tile: int | None = None,
+    subtiles: int = 1,
 ):
   """Ensemble-VI step backed by the fused Pallas MLP kernels.
 
@@ -274,6 +275,7 @@ def _make_pallas_vi_fn(
           obs_raw,
           y_b,
           precision=precision,
+          subtiles=subtiles,
           n_valid=n_valid,
       )
 
@@ -526,6 +528,9 @@ def fit_vi(
             sample_size_divergence=int(sample_size_divergence),
             kl_weight=float(kl_weight),
             precision=precision,
+            # Resolved backend: see inference/map.py — a resume must not
+            # silently mix xla- and pallas-chunk numerics.
+            backend=backend,
         ),
     )
     restored = checkpointer.restore_latest()
@@ -560,6 +565,8 @@ def fit_vi(
 
   def make_fit(chunk_steps):
     if backend == 'pallas':
+      from bayesnf_tpu.ops import fused_mlp
+
       return _make_pallas_vi_fn(
           config,
           distribution,
@@ -571,6 +578,8 @@ def fit_vi(
           float(kl_weight),
           mesh,
           precision,
+          # Resolved here so the env knob is part of the lru_cache key.
+          subtiles=fused_mlp.resolve_subtiles(),
       )
     if backend != 'xla':
       raise ValueError(f'Unknown backend: {backend!r}')
@@ -589,29 +598,30 @@ def fit_vi(
     )
 
   step = start_step
-  first_chunk = True
   while step < num_steps:
     chunk = (
         num_steps - step
         if checkpointer is None
         else min(checkpoint_every, num_steps - step)
     )
-    try:
-      surrogate, opt_state, member_keys, losses = make_fit(chunk)(
-          surrogate, opt_state, member_keys, aug_t, target
-      )
-    except Exception as err:  # pylint: disable=broad-except
-      # Auto-selected pallas may fail to *build* on an exotic config; the
-      # inputs are untouched (donation only consumes buffers once the
-      # compiled program executes), so retry the chunk on xla.
-      if not (first_chunk and auto_resolved and backend == 'pallas'):
-        raise
-      backends.warn_pallas_fallback(err)
-      backend = 'xla'
-      surrogate, opt_state, member_keys, losses = make_fit(chunk)(
-          surrogate, opt_state, member_keys, aug_t, target
-      )
-    first_chunk = False
+    if auto_resolved and backend == 'pallas':
+      # AOT trace-and-compile probe: catch kernel *build* failures while
+      # the donated inputs are still intact; execution-time failures past
+      # this point propagate unmasked (see inference/map.py).
+      try:
+        fit_fn = make_fit(chunk).lower(
+            surrogate, opt_state, member_keys, aug_t, target
+        ).compile()
+      except Exception as err:  # pylint: disable=broad-except
+        backends.warn_pallas_fallback(err)
+        backend = 'xla'
+        fit_fn = make_fit(chunk)
+      auto_resolved = False  # probe once; later chunks fail loudly
+    else:
+      fit_fn = make_fit(chunk)
+    surrogate, opt_state, member_keys, losses = fit_fn(
+        surrogate, opt_state, member_keys, aug_t, target
+    )
     loss_chunks.append(dist_lib.host_value(losses))
     step += chunk
     # Final chunk checkpointed too: a completed run re-invoked with the

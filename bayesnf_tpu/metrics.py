@@ -65,6 +65,12 @@ def crps_ensemble(y, samples, fair=True):
   y = jnp.asarray(y)
   samples = jnp.asarray(samples)
   m = samples.shape[0]
+  if fair and m < 2:
+    raise ValueError(
+        'crps_ensemble(fair=True) needs at least 2 samples (the M(M-1) '
+        f'spread term is undefined at M={m}); pass fair=False for the '
+        'single-sample empirical form.'
+    )
   term_y = jnp.mean(jnp.abs(samples - y[None, :]), axis=0)
   # Pairwise spread via the sorted-sample identity:
   #   sum_{i,j} |x_i - x_j| = 2 * sum_k (2k + 1 - M) x_(k),  k = 0..M-1

@@ -30,6 +30,7 @@ of the pure-JAX model (validated in tests/test_fused_mlp.py).
 
 import functools
 import math
+import os
 import zlib
 
 import jax
@@ -54,6 +55,19 @@ def pick_tile(width: int, rows: int) -> int:
   """
   cap = 2048 if width <= 512 else 1024 if width <= 1024 else 512
   return min(cap, max(128, math.ceil(rows / 128) * 128))
+
+
+def resolve_subtiles(subtiles: int | None = None) -> int:
+  """Resolve the subtile split (BNF_FUSED_SUBTILES env var when unset).
+
+  Callers that cache traced programs (the lru_cached trainer factories)
+  must resolve the env var through this helper *before* their cache
+  lookup, so a changed env var is a new cache key rather than silently
+  reusing a program traced under the old value.
+  """
+  if subtiles is None:
+    return int(os.environ.get('BNF_FUSED_SUBTILES', '1'))
+  return int(subtiles)
 
 
 def _act_parts(z):
@@ -1250,10 +1264,7 @@ def fused_train(
     dobs_raw) with `losses` of shape (E,) and every gradient shaped like
     its input (dobs_raw: (E, 3)).
   """
-  import os
-
-  if subtiles is None:
-    subtiles = int(os.environ.get('BNF_FUSED_SUBTILES', '1'))
+  subtiles = resolve_subtiles(subtiles)
   if tile % subtiles != 0:
     raise ValueError(f'{subtiles=} must divide {tile=}.')
   e = weights[0].shape[0]

@@ -86,19 +86,6 @@ def make_global(x, sharding):
   )
 
 
-def barrier(name: str) -> None:
-  """Cross-process sync point (no-op in a single process).
-
-  Used around checkpoint writes: the writer is process 0 only, and without
-  a barrier another process could race ahead and restore a checkpoint that
-  is still being written.
-  """
-  if jax.process_count() > 1:
-    from jax.experimental import multihost_utils
-
-    multihost_utils.sync_global_devices(name)
-
-
 def host_value(x):
   """Global `jax.Array` -> full host numpy value on EVERY process.
 

@@ -191,3 +191,14 @@ class TestVICheckpoint:
     np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_res))
     for a, b in zip(d_ref, d_res):
       np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_backend_switch_refuses_resume(tmp_path):
+  """xla- and pallas-trained chunks differ up to matmul reassociation, so a
+  resume under a different RESOLVED backend must refuse, not silently mix
+  numerics (the fingerprint includes the resolved backend)."""
+  config, aug, y = _setup()
+  ckdir = str(tmp_path / 'ck')
+  _run(config, aug, y, checkpoint_dir=ckdir, backend='xla')
+  with pytest.raises(ValueError, match='different configuration'):
+    _run(config, aug, y, checkpoint_dir=ckdir, backend='pallas')

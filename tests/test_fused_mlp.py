@@ -471,3 +471,13 @@ class TestFusedTrain:
         'NORMAL', config, params, x_t, seas, y, likelihoods, 1.0)
     np.testing.assert_allclose(
         np.asarray(losses), np.asarray(want_losses), rtol=2e-4)
+
+
+def test_resolve_subtiles_env(monkeypatch):
+  """The env knob resolves through a helper callers key their caches on."""
+  monkeypatch.delenv('BNF_FUSED_SUBTILES', raising=False)
+  assert fused_mlp.resolve_subtiles() == 1
+  assert fused_mlp.resolve_subtiles(4) == 4
+  monkeypatch.setenv('BNF_FUSED_SUBTILES', '2')
+  assert fused_mlp.resolve_subtiles() == 2
+  assert fused_mlp.resolve_subtiles(4) == 4  # explicit beats env

@@ -80,3 +80,16 @@ def test_crps_on_model_draws():
   # Far better than the climatological forecast (a constant at the mean).
   clim = float(metrics.crps_ensemble(y, np.tile(y.mean(), (2, n))))
   assert 0 < crps < 0.8 * clim, (crps, clim)
+
+
+def test_crps_ensemble_single_sample_guard():
+  """fair=True at M=1 must raise (the M(M-1) denominator is zero), and
+  fair=False must still return the exact empirical CRPS = |x - y|."""
+  import pytest
+
+  y = np.array([1.0, 2.0])
+  one = np.array([[2.0, 2.0]])
+  with pytest.raises(ValueError, match='at least 2 samples'):
+    metrics.crps_ensemble(y, one)
+  got = float(metrics.crps_ensemble(y, one, fair=False))
+  np.testing.assert_allclose(got, 0.5)  # mean(|2-1|, |2-2|)
