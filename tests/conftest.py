@@ -25,3 +25,22 @@ if 'jax' in sys.modules:
   import jax
 
   jax.config.update('jax_platforms', 'cpu')
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_between_modules():
+  """Drop compiled executables after each test module.
+
+  The full suite compiles hundreds of distinct programs into one process;
+  on jax 0.9 the XLA:CPU JIT has been observed to segfault inside
+  `backend_compile_and_load` only after ~200 in-process compilations
+  (every module passes in isolation). Bounding the live-executable count
+  keeps the process inside the regime that works. Modules rarely share
+  program shapes, so the lost cache hits are negligible.
+  """
+  yield
+  import jax
+
+  jax.clear_caches()
