@@ -18,6 +18,17 @@ if 'xla_force_host_platform_device_count' not in flags:
       flags + ' --xla_force_host_platform_device_count=8'
   ).strip()
 
+# Persist compiled programs across suite runs: the suite is
+# compile-dominated (hundreds of distinct programs, >1 s each), and the
+# topology (8 virtual CPU devices) is fixed here so cache keys are stable.
+# A warm cache roughly halves suite wall-clock. Opt out by setting the
+# var to the empty string.
+if 'JAX_COMPILATION_CACHE_DIR' not in os.environ:
+  os.environ['JAX_COMPILATION_CACHE_DIR'] = os.path.join(
+      os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+      '.pytest_jax_cache',
+  )
+
 # Pytest plugins (e.g. jaxtyping) may import jax before this conftest runs,
 # at which point jax has already bound jax_platforms from the environment —
 # override it through the config API too.
