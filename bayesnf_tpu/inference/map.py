@@ -575,6 +575,7 @@ def ensemble_map(
     )
 
   epoch = start_epoch
+  aot_cache = {}  # chunk size -> AOT-compiled program from the probe
   while epoch < num_epochs:
     chunk = (
         num_epochs - epoch
@@ -593,13 +594,16 @@ def ensemble_map(
         train_fn = make_train(chunk).lower(
             tuple(params), opt_state, member_keys, aug_t, target
         ).compile()
+        # The AOT result does not populate the jit dispatch cache, so
+        # later equal-size chunks must reuse it or pay a second compile.
+        aot_cache[chunk] = train_fn
       except Exception as err:  # pylint: disable=broad-except
         backends.warn_pallas_fallback(err)
         backend = 'xla'
         train_fn = make_train(chunk)
       auto_resolved = False  # probe once; later chunks fail loudly
     else:
-      train_fn = make_train(chunk)
+      train_fn = aot_cache.get(chunk) or make_train(chunk)
     params, opt_state, member_keys, losses = train_fn(
         tuple(params), opt_state, member_keys, aug_t, target
     )

@@ -598,6 +598,7 @@ def fit_vi(
     )
 
   step = start_step
+  aot_cache = {}  # chunk size -> AOT-compiled program from the probe
   while step < num_steps:
     chunk = (
         num_steps - step
@@ -612,13 +613,16 @@ def fit_vi(
         fit_fn = make_fit(chunk).lower(
             surrogate, opt_state, member_keys, aug_t, target
         ).compile()
+        # AOT results bypass the jit dispatch cache; reuse for later
+        # equal-size chunks to avoid a second compile of the same program.
+        aot_cache[chunk] = fit_fn
       except Exception as err:  # pylint: disable=broad-except
         backends.warn_pallas_fallback(err)
         backend = 'xla'
         fit_fn = make_fit(chunk)
       auto_resolved = False  # probe once; later chunks fail loudly
     else:
-      fit_fn = make_fit(chunk)
+      fit_fn = aot_cache.get(chunk) or make_fit(chunk)
     surrogate, opt_state, member_keys, losses = fit_fn(
         surrogate, opt_state, member_keys, aug_t, target
     )

@@ -100,6 +100,57 @@ def test_auto_pallas_build_failure_falls_back_to_xla(monkeypatch, capsys):
   assert 'falling back to xla' in capsys.readouterr().err
 
 
+def test_auto_probe_compiles_once_per_chunk_size(monkeypatch, tmp_path):
+  """The probe's AOT-compiled program is reused for later equal-size chunks.
+
+  jit dispatch does not see AOT .lower().compile() results, so without the
+  reuse cache a checkpointed auto->pallas fit would compile the same chunk
+  program twice (once in the probe, once at the second chunk's dispatch).
+  """
+  monkeypatch.setattr(
+      backends,
+      'resolve_backend',
+      lambda b, m, **kw: 'pallas' if b == 'auto' else b,
+  )
+  calls = {'lower': 0, 'direct': 0}
+  real_factory = map_lib._make_pallas_train_fn  # pylint: disable=protected-access
+
+  def counting_factory(*args, **kwargs):
+    fn = real_factory(*args, **kwargs)
+
+    class _Wrap:
+
+      def lower(self, *a, **kw):
+        calls['lower'] += 1
+        return fn.lower(*a, **kw)
+
+      def __call__(self, *a, **kw):
+        calls['direct'] += 1
+        return fn(*a, **kw)
+
+    return _Wrap()
+
+  monkeypatch.setattr(map_lib, '_make_pallas_train_fn', counting_factory)
+
+  config = _tiny_config()
+  rng = np.random.default_rng(0)
+  x = jnp.asarray(rng.normal(size=(40, 1)), jnp.float32)
+  y = jnp.asarray(rng.normal(size=(40,)), jnp.float32)
+  seasonal = field_lib.seasonal_features_for(config, x)
+  aug = jnp.concatenate([x, seasonal], axis=-1)
+
+  _, losses = map_lib.ensemble_map(
+      aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+      ensemble_size=2, learning_rate=0.01, num_epochs=4,
+      seed=jax.random.PRNGKey(0), backend='auto',
+      checkpoint_dir=str(tmp_path / 'ck'), checkpoint_every=2,
+  )
+  assert losses.shape == (2, 4)
+  # One AOT probe compile; both 2-epoch chunks ran through the compiled
+  # object (a direct jit dispatch would have been a second compile).
+  assert calls == {'lower': 1, 'direct': 0}
+
+
 def test_auto_explicit_pallas_failure_is_not_swallowed(monkeypatch):
   """An explicitly requested pallas backend must surface its failure."""
   def broken_pallas(*args, **kwargs):
