@@ -575,7 +575,20 @@ def ensemble_map(
     )
 
   epoch = start_epoch
-  aot_cache = {}  # chunk size -> AOT-compiled program from the probe
+  # The probe's AOT program (jit dispatch never sees .lower().compile()
+  # results, so later chunks must reuse it or pay a second compile). Only
+  # one program is ever held: the probe runs once, and reuse requires the
+  # SAME chunk size and the SAME resolved subtile knob it was traced under
+  # (the resolve_subtiles contract — an env var changed mid-run must be a
+  # cache miss, not a silent reuse of the old tiling).
+  probe_fn = None
+  probe_key = None
+
+  def pallas_probe_key(chunk_epochs):
+    from bayesnf_tpu.ops import fused_mlp
+
+    return (chunk_epochs, fused_mlp.resolve_subtiles())
+
   while epoch < num_epochs:
     chunk = (
         num_epochs - epoch
@@ -590,20 +603,22 @@ def ensemble_map(
       # propagates unmasked (the donated inputs may already be consumed,
       # and masking e.g. a runtime OOM behind an 'Array has been deleted'
       # retry error would hide the actionable failure).
+      probe_key = pallas_probe_key(chunk)
       try:
         train_fn = make_train(chunk).lower(
             tuple(params), opt_state, member_keys, aug_t, target
         ).compile()
-        # The AOT result does not populate the jit dispatch cache, so
-        # later equal-size chunks must reuse it or pay a second compile.
-        aot_cache[chunk] = train_fn
+        probe_fn = train_fn
       except Exception as err:  # pylint: disable=broad-except
         backends.warn_pallas_fallback(err)
         backend = 'xla'
+        probe_key = None
         train_fn = make_train(chunk)
       auto_resolved = False  # probe once; later chunks fail loudly
+    elif backend == 'pallas' and probe_key == pallas_probe_key(chunk):
+      train_fn = probe_fn
     else:
-      train_fn = aot_cache.get(chunk) or make_train(chunk)
+      train_fn = make_train(chunk)
     params, opt_state, member_keys, losses = train_fn(
         tuple(params), opt_state, member_keys, aug_t, target
     )

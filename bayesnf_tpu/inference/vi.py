@@ -598,7 +598,17 @@ def fit_vi(
     )
 
   step = start_step
-  aot_cache = {}  # chunk size -> AOT-compiled program from the probe
+  # Probe AOT program + the (chunk, resolved subtiles) key it was traced
+  # under; reuse requires an exact key match (see inference/map.py — a
+  # BNF_FUSED_SUBTILES change mid-run must be a miss, not a stale reuse).
+  probe_fn = None
+  probe_key = None
+
+  def pallas_probe_key(chunk_steps):
+    from bayesnf_tpu.ops import fused_mlp
+
+    return (chunk_steps, fused_mlp.resolve_subtiles())
+
   while step < num_steps:
     chunk = (
         num_steps - step
@@ -609,20 +619,22 @@ def fit_vi(
       # AOT trace-and-compile probe: catch kernel *build* failures while
       # the donated inputs are still intact; execution-time failures past
       # this point propagate unmasked (see inference/map.py).
+      probe_key = pallas_probe_key(chunk)
       try:
         fit_fn = make_fit(chunk).lower(
             surrogate, opt_state, member_keys, aug_t, target
         ).compile()
-        # AOT results bypass the jit dispatch cache; reuse for later
-        # equal-size chunks to avoid a second compile of the same program.
-        aot_cache[chunk] = fit_fn
+        probe_fn = fit_fn
       except Exception as err:  # pylint: disable=broad-except
         backends.warn_pallas_fallback(err)
         backend = 'xla'
+        probe_key = None
         fit_fn = make_fit(chunk)
       auto_resolved = False  # probe once; later chunks fail loudly
+    elif backend == 'pallas' and probe_key == pallas_probe_key(chunk):
+      fit_fn = probe_fn
     else:
-      fit_fn = aot_cache.get(chunk) or make_fit(chunk)
+      fit_fn = make_fit(chunk)
     surrogate, opt_state, member_keys, losses = fit_fn(
         surrogate, opt_state, member_keys, aug_t, target
     )
