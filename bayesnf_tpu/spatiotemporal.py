@@ -235,7 +235,8 @@ class BayesianNeuralFieldEstimator:
     self._device_params_cache = (self.params_, device)
     return device
 
-  def predict(self, table, quantiles=(0.5,), approximate_quantiles=False):
+  def predict(self, table, quantiles=(0.5,), approximate_quantiles=False,
+              backend='auto'):
     """Predict the target at new field points.
 
     Args:
@@ -243,6 +244,8 @@ class BayesianNeuralFieldEstimator:
       quantiles: quantiles to compute.
       approximate_quantiles: moment-matching heuristic instead of
         root-finding.
+      backend: 'auto' (default: fused Pallas forward on a single-chip TPU
+        placement, portable XLA otherwise) | 'xla' | 'pallas'.
 
     Returns:
       (means, quantiles): means has the ensemble leading dims
@@ -263,6 +266,7 @@ class BayesianNeuralFieldEstimator:
         ensemble_dims=self._ensemble_dims,
         approximate_quantiles=approximate_quantiles,
         mesh=self.mesh_,
+        backend=backend,
     )
 
   def fit(self, table, seed, **kwargs):

@@ -226,6 +226,8 @@ def main():
         1,
         False,
         4096,
+        None,
+        backend,
     )
 
     @jax.jit
