@@ -192,19 +192,21 @@ class TestFusedTrain:
   """
 
   def _setup(self, distribution='NORMAL', n=70, per_member_x=False,
-             interactions=((0, 1), (1, 2)), seasonal=True, seed=3):
+             interactions=((0, 1), (1, 2)), seasonal=True, seed=3,
+             config=None):
     from bayesnf_tpu.models import field as field_lib
     from bayesnf_tpu.models import likelihoods
 
-    config = field_lib.FieldConfig.create(
-        width=16,
-        depth=2,
-        input_scales=[50.0, 1.0, 1.0],
-        fourier_degrees=[3, 2, 0],
-        interactions=interactions,
-        seasonality_periods=[7.0] if seasonal else [],
-        num_seasonal_harmonics=[2] if seasonal else [],
-    )
+    if config is None:
+      config = field_lib.FieldConfig.create(
+          width=16,
+          depth=2,
+          input_scales=[50.0, 1.0, 1.0],
+          fourier_degrees=[3, 2, 0],
+          interactions=interactions,
+          seasonality_periods=[7.0] if seasonal else [],
+          num_seasonal_harmonics=[2] if seasonal else [],
+      )
     e = 3
     rng = np.random.default_rng(seed)
     keys = jax.random.split(jax.random.PRNGKey(seed), e)
@@ -460,6 +462,73 @@ class TestFusedTrain:
     # Deterministic across processes (a stable digest, not id()-based).
     again = fused_mlp._named_kernel(lambda: None, *base).__name__
     assert again in names
+
+  @pytest.mark.slow
+  @pytest.mark.parametrize('case_seed', range(6))
+  def test_random_config_sweep(self, case_seed):
+    """Seeded fuzz over the config space the estimator can produce.
+
+    Each case draws input dimensionality, width, depth, per-input Fourier
+    degrees (including zeros), an interaction subset (possibly empty),
+    0-2 seasonal factors, an odd row count, and an observation model, then
+    checks fused_train's losses and every gradient against the autodiff
+    oracle. Guards the kernel's static-config code paths (encode layout,
+    group concat, fan-in chains) beyond the handful of hand-picked
+    configurations above.
+    """
+    from bayesnf_tpu.models import field as field_lib
+
+    rng = np.random.default_rng(1000 + case_seed)
+    num_inputs = int(rng.integers(2, 5))
+    width = int(rng.choice([8, 16, 40]))
+    depth = int(rng.integers(1, 4))
+    fourier_degrees = [int(rng.integers(0, 5)) for _ in range(num_inputs)]
+    if not any(fourier_degrees):
+      fourier_degrees[0] = 2
+    all_pairs = [(i, j) for i in range(num_inputs)
+                 for j in range(i + 1, num_inputs)]
+    take = int(rng.integers(0, len(all_pairs) + 1))
+    interactions = tuple(
+        all_pairs[k] for k in sorted(
+            rng.choice(len(all_pairs), size=take, replace=False))
+    ) if take else ()
+    n_seasonal = int(rng.integers(0, 3))
+    periods = [float(p) for p in rng.choice([7.0, 12.0, 24.0], size=n_seasonal,
+                                            replace=False)]
+    harmonics = [int(rng.integers(1, 4)) for _ in range(n_seasonal)]
+    n = int(rng.choice([33, 64, 70, 97]))
+    distribution = str(rng.choice(['NORMAL', 'NB', 'ZINB']))
+
+    config = field_lib.FieldConfig.create(
+        width=width,
+        depth=depth,
+        input_scales=[50.0] + [1.0] * (num_inputs - 1),
+        fourier_degrees=fourier_degrees,
+        interactions=interactions,
+        seasonality_periods=periods,
+        num_seasonal_harmonics=harmonics,
+    )
+    config_, params, x_t, seas, y, likelihoods = self._setup(
+        distribution=distribution, n=n, seed=100 + case_seed, config=config)
+    lik_scale = float(rng.uniform(0.5, 3.0))
+    losses, pairs = self._run_fused(
+        distribution, config, params, x_t, seas, y, lik_scale)
+    want_losses, want_grads = self._oracle(
+        distribution, config, params, x_t, seas, y, likelihoods, lik_scale)
+
+    loss_rtol = 2e-4 if distribution == 'NORMAL' else 1e-3
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(want_losses), rtol=loss_rtol)
+    grad_tol = (5e-4, 5e-5) if distribution == 'NORMAL' else (2e-3, 5e-4)
+    for name, (got, idx) in pairs.items():
+      want = np.asarray(want_grads[idx])
+      if name in self._UNUSED_OBS[distribution]:
+        np.testing.assert_array_equal(np.asarray(got), np.zeros_like(want),
+                                      err_msg=name)
+        continue
+      np.testing.assert_allclose(
+          np.asarray(got), want, rtol=grad_tol[0], atol=grad_tol[1],
+          err_msg=name)
 
   def test_no_seasonal_no_interactions(self):
     config, params, x_t, seas, y, likelihoods = self._setup(
