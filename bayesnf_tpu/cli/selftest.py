@@ -1,0 +1,194 @@
+"""Hardware self-test: Pallas/XLA backend agreement on the attached device.
+
+Qualification tool for a new chip, topology, or toolchain bump: runs the
+REAL production paths (`inference.map.fit_map`, `inference.vi.fit_vi`,
+`inference.predict.predict_bnf`) twice — fused-Pallas backend vs the
+portable XLA backend — on a small synthetic spatiotemporal workload and
+asserts the two executables agree within kernel tolerances for every
+observation model. The reference has no equivalent (it ships exactly one
+code path); here two independently-written backends make divergence the
+key hardware/compiler risk, and this catches it in seconds on-device.
+
+Usage:
+
+    python -m bayesnf_tpu.cli.selftest            # current JAX backend
+    python -m bayesnf_tpu.cli.selftest --epochs 50 --rows 1024
+
+Prints one line per check and a final JSON summary; exit code is non-zero
+on any disagreement. On CPU the Pallas kernels run in interpreter mode
+(slow — keep --rows/--epochs small); on TPU the compiled kernels are
+exercised, which is the intended use.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bayesnf_tpu.inference import map as map_lib
+from bayesnf_tpu.inference import predict as predict_lib
+from bayesnf_tpu.inference import vi as vi_lib
+from bayesnf_tpu.models import field as field_lib
+
+
+def _workload(rows, width, seed=0):
+  """Small but representative config + synthetic data (counts included)."""
+  config = field_lib.FieldConfig.create(
+      width=width,
+      depth=2,
+      input_scales=[168.0, 1.0, 1.0],
+      fourier_degrees=[5, 3, 3],
+      interactions=[(0, 1), (1, 2)],
+      seasonality_periods=[24.0, 24.0 * 7],
+      num_seasonal_harmonics=[3, 2],
+  )
+  rng = np.random.default_rng(seed)
+  t = np.arange(rows, dtype=np.float32) % 720.0
+  space = rng.normal(size=(rows, 2)).astype(np.float32)
+  x = np.concatenate([t[:, None], space], axis=-1)
+  rate = np.exp(
+      1.0
+      + 0.8 * np.sin(2 * np.pi * t / 24.0)
+      + 0.3 * space[:, 0]
+  )
+  y_counts = rng.poisson(rate).astype(np.float32)
+  y_counts[:: 11] = 0.0  # exercise the ZINB zero branch
+  y_normal = (rate + rng.normal(scale=0.5, size=rows)).astype(np.float32)
+
+  x = jnp.asarray(x)
+  seasonal = field_lib.seasonal_features_for(config, x)
+  aug = jnp.concatenate([x, seasonal], axis=-1)
+  return config, aug, jnp.asarray(y_normal), jnp.asarray(y_counts)
+
+
+def _loss_agreement(name, losses_a, losses_b, rtol, checks):
+  a = np.asarray(losses_a, dtype=np.float64)
+  b = np.asarray(losses_b, dtype=np.float64)
+  # Per-member final losses: the kernel-vs-XLA tolerance contract
+  # (tests/test_inference.py uses the same comparison at CI shapes).
+  rel = np.max(np.abs(a - b) / (np.abs(b) + 1e-6))
+  ok = bool(rel < rtol)
+  checks.append({'check': name, 'max_rel': float(rel), 'tol': rtol, 'ok': ok})
+  print(f'{"PASS" if ok else "FAIL"} {name}: max_rel={rel:.2e} (tol {rtol})')
+  return ok
+
+
+def _count_quantile_agreement(name, q_a, q_b, checks):
+  """Integer quantiles sit on a discretization cliff: the root-find's ceil
+  flips a whole count when the two backends' CDFs differ in the last few
+  ulps at an integer boundary. Agreement contract: every row within one
+  count, and almost all rows exactly equal."""
+  a = np.asarray(q_a, dtype=np.float64)
+  b = np.asarray(q_b, dtype=np.float64)
+  max_abs = float(np.max(np.abs(a - b))) if a.size else 0.0
+  mismatch = float(np.mean(a != b)) if a.size else 0.0
+  ok = bool(max_abs <= 1.0 and mismatch < 0.01)
+  checks.append({'check': name, 'max_abs_counts': max_abs,
+                 'mismatch_frac': mismatch, 'ok': ok})
+  print(f'{"PASS" if ok else "FAIL"} {name}: max_abs={max_abs:.0f} counts, '
+        f'mismatch_frac={mismatch:.4f} (tol: <=1 count, <1% rows)')
+  return ok
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument('--rows', type=int, default=512)
+  parser.add_argument('--width', type=int, default=64)
+  parser.add_argument('--epochs', type=int, default=30)
+  parser.add_argument('--ensemble', type=int, default=4)
+  parser.add_argument('--rtol', type=float, default=5e-3,
+                      help='relative tolerance on final per-member losses')
+  args = parser.parse_args(argv)
+
+  backend = jax.default_backend()
+  print(f'device backend: {backend} ({jax.devices()[0].device_kind})')
+  config, aug, y_normal, y_counts = _workload(args.rows, args.width)
+
+  checks = []
+  t0 = time.perf_counter()
+  for distribution in ('NORMAL', 'NB', 'ZINB'):
+    y = y_normal if distribution == 'NORMAL' else y_counts
+    results = {}
+    for train_backend in ('xla', 'pallas'):
+      params, losses = map_lib.fit_map(
+          aug, y,
+          seed=jax.random.PRNGKey(7),
+          observation_model=distribution,
+          config=config,
+          num_particles=args.ensemble,
+          learning_rate=0.005,
+          num_epochs=args.epochs,
+          backend=train_backend,
+      )
+      results[train_backend] = (params, losses[:, -1])
+    _loss_agreement(
+        f'map/{distribution} final losses',
+        results['pallas'][1], results['xla'][1], args.rtol, checks,
+    )
+
+    # Predict agreement on the params the XLA fit produced (shared input
+    # to both predict programs; count models exercise the root-finder).
+    p = tuple(x[jnp.newaxis] for x in results['xla'][0])  # (1, E, ...)
+    preds = {}
+    for predict_backend in ('xla', 'pallas'):
+      means, (q50, q975) = predict_lib.predict_bnf(
+          aug[:, : config.num_inputs],
+          distribution,
+          p,
+          config,
+          quantiles=(0.5, 0.975),
+          ensemble_dims=2,
+          backend=predict_backend,
+      )
+      preds[predict_backend] = (means, q50, q975)
+    count_model = distribution != 'NORMAL'
+    for i, part in enumerate(('means', 'q50', 'q975')):
+      name = f'predict/{distribution} {part}'
+      if count_model and part != 'means':
+        _count_quantile_agreement(
+            name, preds['pallas'][i], preds['xla'][i], checks)
+      else:
+        _loss_agreement(
+            name, preds['pallas'][i], preds['xla'][i], args.rtol, checks)
+
+  # VI: ELBO trajectory agreement (NORMAL is the representative cell; the
+  # per-distribution kernel bodies are already covered by the MAP loop).
+  vi_losses = {}
+  for train_backend in ('xla', 'pallas'):
+    _, losses, _ = vi_lib.fit_vi(
+        aug, y_normal,
+        seed=jax.random.PRNGKey(7),
+        observation_model='NORMAL',
+        config=config,
+        ensemble_size=args.ensemble,
+        learning_rate=0.01,
+        num_epochs=args.epochs,
+        sample_size_divergence=3,
+        sample_size_posterior=4,
+        kl_weight=0.1,
+        backend=train_backend,
+    )
+    vi_losses[train_backend] = np.asarray(losses)[:, -1]
+  _loss_agreement(
+      'vi/NORMAL final losses',
+      vi_losses['pallas'], vi_losses['xla'], args.rtol, checks,
+  )
+
+  ok = all(c['ok'] for c in checks)
+  print(json.dumps({
+      'backend': backend,
+      'ok': ok,
+      'num_checks': len(checks),
+      'wall_s': round(time.perf_counter() - t0, 1),
+      'failed': [c['check'] for c in checks if not c['ok']],
+  }))
+  return 0 if ok else 1
+
+
+if __name__ == '__main__':
+  sys.exit(main())

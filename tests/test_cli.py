@@ -112,3 +112,19 @@ def test_registry_covers_reference_suite():
   assert registry.model_config('sst', 'map')['width'] == 768
   assert registry.inference_config('chickenpox', 'map')['num_particles'] == 64
   assert registry.dataset_config('sst')['feature_cols'][-1] == 'soi'
+
+
+@pytest.mark.slow
+def test_selftest_cli_agrees_on_cpu(capsys):
+  """The hardware self-test passes on the CI mesh (Pallas in interpreter
+  mode): backend agreement through the real fit/predict entry points."""
+  from bayesnf_tpu.cli import selftest
+
+  rc = selftest.main([
+      '--rows', '64', '--width', '16', '--epochs', '2', '--ensemble', '2',
+  ])
+  out = capsys.readouterr().out
+  summary = json.loads(out.strip().splitlines()[-1])
+  assert rc == 0, out
+  assert summary['ok'] and summary['failed'] == []
+  assert summary['num_checks'] == 13
