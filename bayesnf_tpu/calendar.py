@@ -73,12 +73,16 @@ def seasonalities_to_array(
       period = seasonality_to_float(seasonality, freq)
       if period < 1:
         raise TypeError(
-            f'{seasonality=} should represent a time span greater than'
-            f' {freq=}, but {seasonality} is {period:.2f} of a {freq}'
+            f'seasonality {seasonality!r} is only {period:.2f} steps of '
+            f'freq {freq!r}; a seasonal period must span more than one '
+            'data step.'
         )
     else:
       period = seasonality
       if period < 1:
-        raise TypeError(f'seasonality_float={period} should be larger than 1.')
+        raise TypeError(
+            f'numeric seasonality {period} must exceed 1 (it is measured '
+            'in data steps).'
+        )
     out.append(period)
   return np.array(out)

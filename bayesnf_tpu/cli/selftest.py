@@ -71,6 +71,9 @@ def _loss_agreement(name, losses_a, losses_b, rtol, checks):
   b = np.asarray(losses_b, dtype=np.float64)
   # Per-member final losses: the kernel-vs-XLA tolerance contract
   # (tests/test_inference.py uses the same comparison at CI shapes).
+  # Pure relative error is well-conditioned here: losses are O(1e2) and
+  # bounded away from zero. Predictions are NOT (they cross zero) — those
+  # go through `_pred_agreement` instead.
   rel = np.max(np.abs(a - b) / (np.abs(b) + 1e-6))
   ok = bool(rel < rtol)
   checks.append({'check': name, 'max_rel': float(rel), 'tol': rtol, 'ok': ok})
@@ -78,20 +81,49 @@ def _loss_agreement(name, losses_a, losses_b, rtol, checks):
   return ok
 
 
+def _pred_agreement(name, pred_a, pred_b, rtol, data_scale, checks):
+  """Scale-aware agreement for signed predictions.
+
+  Pure relative error |a-b|/|b| is ill-conditioned where predictions cross
+  zero (a 5e-4 absolute difference near b=0 reads as 'rel=0.2'). Contract:
+  |a - b| <= atol + rtol * max(|a|, |b|) elementwise, with atol tied to the
+  scale of the *data* (rtol * std(y)) rather than of the predictions — a
+  barely-trained model predicts near zero, and the f32 kernel-vs-XLA
+  forward-pass floor (~1e-4 absolute at these magnitudes) is hardware
+  agreement, not divergence, whenever it is tiny against the observable
+  signal.
+  """
+  a = np.asarray(pred_a, dtype=np.float64)
+  b = np.asarray(pred_b, dtype=np.float64)
+  atol = rtol * max(float(data_scale), 1e-12)
+  err = np.max(np.abs(a - b) / (atol + rtol * np.maximum(np.abs(a), np.abs(b))))
+  ok = bool(err <= 1.0)
+  checks.append({'check': name, 'scaled_err': float(err), 'atol': atol,
+                 'rtol': rtol, 'ok': ok})
+  print(f'{"PASS" if ok else "FAIL"} {name}: scaled_err={err:.2e} '
+        f'(tol: |a-b| <= {atol:.2e} + {rtol}*max|a|,|b|)')
+  return ok
+
+
 def _count_quantile_agreement(name, q_a, q_b, checks):
   """Integer quantiles sit on a discretization cliff: the root-find's ceil
   flips a whole count when the two backends' CDFs differ in the last few
   ulps at an integer boundary. Agreement contract: every row within one
-  count, and almost all rows exactly equal."""
+  count, and at most max(1, 1% of rows) rows differ at all (the floor of
+  one keeps the bound meaningful at small --rows, where a single flip
+  exceeds 1%)."""
   a = np.asarray(q_a, dtype=np.float64)
   b = np.asarray(q_b, dtype=np.float64)
   max_abs = float(np.max(np.abs(a - b))) if a.size else 0.0
-  mismatch = float(np.mean(a != b)) if a.size else 0.0
-  ok = bool(max_abs <= 1.0 and mismatch < 0.01)
+  mismatches = int(np.sum(a != b))
+  allowed = max(1, int(np.ceil(0.01 * a.size)))
+  ok = bool(max_abs <= 1.0 and mismatches <= allowed)
   checks.append({'check': name, 'max_abs_counts': max_abs,
-                 'mismatch_frac': mismatch, 'ok': ok})
+                 'mismatches': mismatches, 'allowed_mismatches': allowed,
+                 'ok': ok})
   print(f'{"PASS" if ok else "FAIL"} {name}: max_abs={max_abs:.0f} counts, '
-        f'mismatch_frac={mismatch:.4f} (tol: <=1 count, <1% rows)')
+        f'mismatches={mismatches}/{a.size} '
+        f'(tol: <=1 count, <={allowed} rows)')
   return ok
 
 
@@ -103,6 +135,9 @@ def main(argv=None):
   parser.add_argument('--ensemble', type=int, default=4)
   parser.add_argument('--rtol', type=float, default=5e-3,
                       help='relative tolerance on final per-member losses')
+  parser.add_argument('--json-out', type=str, default=None,
+                      help='also write the full JSON summary (per-check '
+                           'detail, device, args) to this path')
   args = parser.parse_args(argv)
 
   backend = jax.default_backend()
@@ -153,8 +188,9 @@ def main(argv=None):
         _count_quantile_agreement(
             name, preds['pallas'][i], preds['xla'][i], checks)
       else:
-        _loss_agreement(
-            name, preds['pallas'][i], preds['xla'][i], args.rtol, checks)
+        _pred_agreement(
+            name, preds['pallas'][i], preds['xla'][i], args.rtol,
+            np.std(np.asarray(y)), checks)
 
   # VI: ELBO trajectory agreement (NORMAL is the representative cell; the
   # per-distribution kernel bodies are already covered by the MAP loop).
@@ -180,13 +216,32 @@ def main(argv=None):
   )
 
   ok = all(c['ok'] for c in checks)
-  print(json.dumps({
+  summary = {
       'backend': backend,
       'ok': ok,
       'num_checks': len(checks),
       'wall_s': round(time.perf_counter() - t0, 1),
       'failed': [c['check'] for c in checks if not c['ok']],
-  }))
+  }
+  if args.json_out:
+    with open(args.json_out, 'w') as f:
+      json.dump(
+          {
+              **summary,
+              'device_kind': jax.devices()[0].device_kind,
+              'num_devices': jax.device_count(),
+              'args': {
+                  'rows': args.rows, 'width': args.width,
+                  'epochs': args.epochs, 'ensemble': args.ensemble,
+                  'rtol': args.rtol,
+              },
+              'checks': checks,
+          },
+          f,
+          indent=2,
+      )
+      f.write('\n')
+  print(json.dumps(summary))
   return 0 if ok else 1
 
 

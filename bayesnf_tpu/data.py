@@ -1,7 +1,8 @@
 """Host-side data layer: long-format pandas DataFrames -> float matrices.
 
-Behavioral parity with the reference's `SpatiotemporalDataHandler`
-(`/root/reference/src/bayesnf/spatiotemporal.py:98-192`):
+Behavioral parity surface (reference `SpatiotemporalDataHandler`,
+`/root/reference/src/bayesnf/spatiotemporal.py:98-192` — same observable
+behavior, independently structured implementation):
 
 - rows with NaN targets are dropped,
 - the time column is converted either to an integer period index relative to
@@ -20,33 +21,38 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 
+# Origin of the integer period index. Any fixed date works (times are
+# re-based to the training minimum afterwards); this one keeps the
+# intermediate integers identical to the reference's.
+_PERIOD_ORIGIN = '2020-01-01'
 
-def convert_datetime_col(table, time_column, timetype, freq, time_min=None):
-  """Convert a time column in place according to the frequency.
 
-  With ``timetype='index'`` the datetime column becomes the integer number of
-  `freq` periods since 2020-01-01; with ``'float'`` it is cast to float.
-  The column is then shifted by `time_min` (or its own minimum).
+def time_to_numeric(col: pd.Series, timetype: str, freq: str | None):
+  """Raw (unshifted) numeric values for a time column.
 
-  Returns:
-    (table, time_min): the mutated table and the offset that was subtracted.
+  ``timetype='index'`` counts `freq`-periods since ``_PERIOD_ORIGIN`` as
+  integers (so e.g. weekly data maps consecutive weeks to consecutive
+  ints); ``'float'`` takes the values as-is.
   """
+  if timetype == 'float':
+    return col.astype(float)
   if timetype == 'index':
-    first_date = pd.to_datetime('2020-01-01').to_period(freq)
-    periods = table[time_column].dt.to_period(freq)
-    table[time_column] = (periods - first_date).map(lambda x: x.n)
-  elif timetype == 'float':
-    table[time_column] = table[time_column].astype(float)
-  else:
-    raise ValueError(f'Unknown timetype: {timetype}')
-  if time_min is None:
-    time_min = table[time_column].min()
-  table[time_column] = table[time_column] - time_min
-  return table, time_min
+    origin = pd.Timestamp(_PERIOD_ORIGIN).to_period(freq).ordinal
+    # Period.ordinal is the period count since pandas' own epoch, so the
+    # difference of ordinals is the period count since `origin`.
+    return col.dt.to_period(freq).map(lambda p: p.ordinal) - origin
+  raise ValueError(
+      f"timetype must be 'index' or 'float', got {timetype!r}"
+  )
 
 
 class SpatiotemporalDataHandler:
-  """Prepares long-format spatiotemporal tables for training/prediction."""
+  """Prepares long-format spatiotemporal tables for training/prediction.
+
+  ``get_train`` fits the state (``time_min_``, ``time_scale_``, ``mu_``,
+  ``std_``); ``get_test`` replays it on new rows. Column 0 of
+  ``feature_cols`` is always the time column.
+  """
 
   def __init__(
       self,
@@ -74,53 +80,64 @@ class SpatiotemporalDataHandler:
   def _time_column(self) -> str:
     return self.feature_cols[self._time_idx]
 
+  def _drop_nan_targets(self, table: pd.DataFrame) -> pd.DataFrame:
+    # Tables without the target column (pure prediction grids) pass through.
+    if self.target_col not in table.columns:
+      return table
+    return table[table[self.target_col].notna()]
+
+  # Back-compat aliases for the reference's method names (thin; the logic
+  # lives in `_drop_nan_targets`).
   def _maybe_filter_target_nans(self, table: pd.DataFrame) -> pd.DataFrame:
-    if self.target_col in table.columns:
-      return table[table[self.target_col].notna()]
-    return table
+    return self._drop_nan_targets(table)
 
   def copy_and_filter_table(self, table: pd.DataFrame) -> pd.DataFrame:
-    return self._maybe_filter_target_nans(table.copy())
+    return self._drop_nan_targets(table.copy())
 
   def get_target(self, table: pd.DataFrame) -> np.ndarray:
-    table = self._maybe_filter_target_nans(table)
-    return table[self.target_col].values
+    return self._drop_nan_targets(table)[self.target_col].values
+
+  def _assemble(self, table: pd.DataFrame, *, fit: bool) -> np.ndarray:
+    """Build the (N, D) feature matrix; with `fit`, record the stats."""
+    times = time_to_numeric(table[self._time_column], self.timetype, self.freq)
+    if fit:
+      self.time_min_ = times.min()
+    table = table.assign(**{self._time_column: times - self.time_min_})
+    features = table[self.feature_cols].values
+
+    if fit:
+      self.time_scale_ = features[:, self._time_idx].max()
+      self.mu_ = np.zeros(len(self.feature_cols))
+      self.std_ = np.ones(len(self.feature_cols))
+      if self.standardize:
+        if self._time_column in self.standardize:
+          raise TypeError(
+              'the time column is never z-scored (its scale feeds the '
+              "Fourier encoder); remove it from `standardize`"
+          )
+        idx = [self.feature_cols.index(name) for name in self.standardize]
+        cols = features[:, idx].astype(float)
+        self.mu_[idx] = cols.mean(axis=0)
+        self.std_[idx] = cols.std(axis=0)
+
+    if self.standardize:
+      features = (features - self.mu_) / self.std_
+    return features
 
   def get_train(self, table: pd.DataFrame) -> np.ndarray:
-    """Fetch the training feature matrix; fits time offset and z-score stats."""
-    table = self.copy_and_filter_table(table)
-    self.mu_ = np.zeros(len(self.feature_cols))
-    self.std_ = np.ones(len(self.feature_cols))
-
-    table, self.time_min_ = convert_datetime_col(
-        table, self._time_column, self.timetype, self.freq, None
-    )
-    features = table[self.feature_cols].values
-    self.time_scale_ = features[:, self._time_idx].max()
-
-    if self.standardize:
-      if self._time_column in self.standardize:
-        raise TypeError('Do not standardize the time column!')
-      idx = [self.feature_cols.index(f) for f in self.standardize]
-      self.mu_[idx] = np.mean(features[:, idx].astype(float), axis=0)
-      self.std_[idx] = np.std(features[:, idx].astype(float), axis=0)
-      features = (features - self.mu_) / self.std_
-
-    return features
+    """Fetch the training feature matrix; fits time offset + z-score stats."""
+    return self._assemble(self.copy_and_filter_table(table), fit=True)
 
   def get_test(self, table: pd.DataFrame) -> np.ndarray:
-    """Fetch a test feature matrix, reusing train-time stats."""
-    table = table.copy()
-    table, _ = convert_datetime_col(
-        table, self._time_column, self.timetype, self.freq, self.time_min_
-    )
-    features = table[self.feature_cols].values
-    if self.standardize:
-      features = (features - self.mu_) / self.std_
-    return features
+    """Fetch a test feature matrix, reusing train-time stats.
+
+    NaN-target rows are intentionally kept (prediction grids routinely
+    carry no target), matching the reference's `get_test`.
+    """
+    return self._assemble(table.copy(), fit=False)
 
   def get_input_scales(self) -> np.ndarray:
     """Per-feature input scales: time scale for column 0, 1.0 elsewhere."""
-    input_scales = np.ones(len(self.feature_cols))
-    input_scales[self._time_idx] = self.time_scale_
-    return input_scales
+    scales = np.ones(len(self.feature_cols))
+    scales[self._time_idx] = self.time_scale_
+    return scales

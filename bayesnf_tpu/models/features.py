@@ -41,22 +41,34 @@ def seasonal_frequency_table(
   seasonality_periods = np.asarray(seasonality_periods, dtype=np.float32)
   num_harmonics = np.asarray(num_harmonics)
   if np.any(num_harmonics > seasonality_periods / 2):
-    raise ValueError('Harmonic cannot exceed half seasonal period.')
+    raise ValueError(
+        'num_harmonics[i] is capped at seasonality_periods[i] / 2: harmonics '
+        'past the Nyquist count alias onto lower ones.'
+    )
   if seasonality_periods.shape != num_harmonics.shape:
-    raise ValueError('Number of seasonal periods and harmonics must be equal.')
+    raise ValueError(
+        f'shape mismatch: {seasonality_periods.shape=} vs '
+        f'{num_harmonics.shape=} (one harmonic count per period).'
+    )
   if num_harmonics.ndim != 1:
     raise ValueError(
-        'Arguments `num_harmonics` and `seasonality_periods` must be rank 1.'
+        f'seasonality_periods/num_harmonics must be rank-1 arrays, got '
+        f'rank {num_harmonics.ndim}.'
     )
-  if seasonality_periods.shape[0] == 0:
+  if seasonality_periods.size == 0:
     return (np.zeros(0), np.zeros(0))
-  harmonics = [np.arange(1, h + 1, dtype=np.float32) for h in num_harmonics]
-  frequencies = np.concatenate(
-      [h / p for (h, p) in zip(harmonics, seasonality_periods)]
+  # First-wins dedup by exact float equality, in concatenation order: e.g.
+  # harmonic 2 of period 12 collides with harmonic 1 of period 6 and keeps
+  # whichever period was listed first (and that period's harmonic number,
+  # which sets the 1/k feature rescale downstream).
+  table: dict[float, float] = {}
+  for period, count in zip(seasonality_periods, num_harmonics):
+    for k in np.arange(1, count + 1, dtype=np.float32):
+      table.setdefault(float(k / period), float(k))
+  return (
+      np.fromiter(table.keys(), dtype=np.float32, count=len(table)),
+      np.fromiter(table.values(), dtype=np.float32, count=len(table)),
   )
-  _, first_idx = np.unique(frequencies, return_index=True)
-  keep = np.sort(first_idx)
-  return (frequencies[keep], np.concatenate(harmonics)[keep])
 
 
 def seasonal_features(

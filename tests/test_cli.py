@@ -115,16 +115,31 @@ def test_registry_covers_reference_suite():
 
 
 @pytest.mark.slow
-def test_selftest_cli_agrees_on_cpu(capsys):
+def test_selftest_cli_agrees_on_cpu(capsys, tmp_path):
   """The hardware self-test passes on the CI mesh (Pallas in interpreter
-  mode): backend agreement through the real fit/predict entry points."""
+  mode): backend agreement through the real fit/predict entry points.
+
+  conftest.py pins JAX_PLATFORMS=cpu for the whole suite; the guard below
+  makes that assumption explicit (the check tolerances are also expected
+  to hold on TPU — the agreement metric is scale-aware — but this test's
+  contract is the deterministic CPU interpreter path)."""
+  import jax
+
   from bayesnf_tpu.cli import selftest
 
+  assert jax.default_backend() == 'cpu', (
+      'conftest.py must pin the suite to the CPU platform'
+  )
+  json_out = tmp_path / 'selftest.json'
   rc = selftest.main([
       '--rows', '64', '--width', '16', '--epochs', '2', '--ensemble', '2',
+      '--json-out', str(json_out),
   ])
   out = capsys.readouterr().out
   summary = json.loads(out.strip().splitlines()[-1])
   assert rc == 0, out
   assert summary['ok'] and summary['failed'] == []
   assert summary['num_checks'] == 13
+  detail = json.loads(json_out.read_text())
+  assert detail['ok'] and len(detail['checks']) == 13
+  assert detail['args']['rows'] == 64

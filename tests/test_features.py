@@ -36,15 +36,15 @@ class TestSeasonalFrequencyTable:
     assert freqs.shape == (0,) and harms.shape == (0,)
 
   def test_harmonic_exceeds_half_period(self):
-    with pytest.raises(ValueError, match='Harmonic cannot exceed'):
+    with pytest.raises(ValueError, match='Nyquist'):
       feat_lib.seasonal_frequency_table(np.array([4.0]), np.array([3]))
 
   def test_shape_mismatch(self):
-    with pytest.raises(ValueError, match='must be equal'):
+    with pytest.raises(ValueError, match='shape mismatch'):
       feat_lib.seasonal_frequency_table(np.array([4.0, 8.0]), np.array([1]))
 
   def test_rank(self):
-    with pytest.raises(ValueError, match='rank 1'):
+    with pytest.raises(ValueError, match='rank-1'):
       feat_lib.seasonal_frequency_table(
           np.array([[4.0]]), np.array([[1]])
       )
