@@ -8,9 +8,12 @@ TPU-first addition):
   any ('ens', 'data') mesh shape.
 - 'pallas': the single-pass fused train kernel (`ops/fused_mlp.fused_train`)
   under `shard_map`. ~2.8x faster than 'xla' on TPU, but interpreter-slow
-  off-TPU. A sharded data axis is supported for full-batch training (the
-  kernel runs per row shard; losses/grads psum over 'data'); minibatch SGD
-  with a sharded data axis needs 'xla' (global permutation gather).
+  off-TPU. A sharded data axis is supported both full-batch (the kernel
+  runs per row shard; losses/grads psum over 'data') and minibatch (each
+  shard contributes batch_size/data_shards rows per step via a per-shard
+  local permutation — requires batch_size % data_shards == 0; see
+  parallel/minibatch.py). A sharded non-divisible minibatch needs 'xla'
+  (global permutation gather).
 
 'auto' (the default at the estimator API) picks 'pallas' exactly when it is
 the right choice — running on TPU with an unsharded data axis or a
@@ -30,21 +33,28 @@ from bayesnf_tpu.parallel import mesh as mesh_lib
 BACKENDS = ('xla', 'pallas', 'auto')
 
 
-def resolve_backend(backend: str, mesh, full_batch: bool = False) -> str:
+def resolve_backend(
+    backend: str, mesh, full_batch: bool = False,
+    batch_divisible: bool = True,
+) -> str:
   """Resolve 'auto' to a concrete trainer backend for this mesh/platform.
 
-  Pallas is eligible on TPU when the data axis is unsharded, or — for
-  full-batch training — when it is sharded (the fused kernel runs per row
-  shard and losses/grads are psum'd over 'data'; any N — uneven rows pad
-  and each shard masks its tail in-kernel). Minibatch SGD with a sharded
-  data axis needs the XLA backend (global permutation gather).
+  Pallas is eligible on TPU when the data axis is unsharded, or — when it
+  is sharded — for full-batch training (the fused kernel runs per row
+  shard and losses/grads are psum'd over 'data'; any N — rows use the
+  balanced layout and each shard masks its tail in-kernel) and for
+  minibatch SGD with `batch_divisible` (batch_size % data_shards == 0;
+  each shard contributes batch_size/data_shards rows per step through the
+  per-shard permutation scheme of parallel/minibatch.py). A sharded
+  non-divisible minibatch needs the XLA backend (global permutation
+  gather).
   """
   if backend not in BACKENDS:
     raise ValueError(f'Unknown backend: {backend!r} (expected {BACKENDS}).')
   if backend != 'auto':
     return backend
   if jax.default_backend() == 'tpu' and (
-      mesh.shape[mesh_lib.DATA_AXIS] == 1 or full_batch
+      mesh.shape[mesh_lib.DATA_AXIS] == 1 or full_batch or batch_divisible
   ):
     return 'pallas'
   return 'xla'

@@ -38,6 +38,7 @@ from bayesnf_tpu.models import field as field_lib
 from bayesnf_tpu.models import likelihoods
 from bayesnf_tpu.models import priors
 from bayesnf_tpu.parallel import mesh as mesh_lib
+from bayesnf_tpu.parallel import minibatch as minibatch_lib
 
 
 @functools.lru_cache(maxsize=32)
@@ -68,10 +69,12 @@ def _make_train_fn(
   large batches (e.g. the sst config's 221k-row full batch x 64 members)
   inside HBM.
 
-  `row_pad`: trailing padding rows the caller appended to `aug_t`/`target`
-  so the row count divides the mesh's data axis (N % data_devices != 0).
-  Pad rows are excluded exactly: a zero weight removes them from the
-  full-batch loss, and the minibatch permutation never indexes them.
+  `row_pad`: total padding rows the caller added (balanced layout — see
+  `parallel/minibatch.py`) so the row count divides the mesh's data axis
+  (N % data_devices != 0). Pad rows are excluded exactly: a zero weight
+  removes them from the full-batch loss, and the minibatch permutation
+  indexes original rows and maps them through the stored layout, never
+  touching padding.
   """
   optimizer = optax.adam(learning_rate)
   num_batches = data_size // batch_size
@@ -136,11 +139,21 @@ def _make_train_fn(
     )
     return loss, grads
 
+  data_shards = mesh.shape[mesh_lib.DATA_AXIS]
+  # Original-row -> stored-position map of the balanced layout (identity
+  # when there is no padding): the minibatch permutation draws original
+  # rows, reference-compatibly, and gathers their stored positions.
+  stored_pos = (
+      jnp.asarray(minibatch_lib.stored_positions(data_size, data_shards))
+      if row_pad
+      else None
+  )
+
   def member_train(params, opt_state, key, aug_t, target):
-    # Validity weights for the stored rows: zero for the caller's padding
-    # tail (present only on full-batch fits over an uneven data axis).
+    # Validity weights for the stored rows: zero for the balanced layout's
+    # padding (present only on full-batch fits over an uneven data axis).
     row_w = (
-        (jnp.arange(step_rows) < data_size).astype(jnp.float32)
+        minibatch_lib.valid_row_weights(data_size, data_shards)
         if row_pad and full_batch
         else None
     )
@@ -158,11 +171,13 @@ def _make_train_fn(
       key, permute_key = jax.random.split(key)
       if batch_size < data_size:
         perm = jax.random.permutation(permute_key, data_size)
-        keep = num_batches * batch_size
+        keep = perm[: num_batches * batch_size]
+        if stored_pos is not None:
+          keep = stored_pos[keep]
         aug_e = jnp.moveaxis(
-            aug_t[:, perm[:keep]].reshape(-1, num_batches, batch_size), 1, 0
+            aug_t[:, keep].reshape(-1, num_batches, batch_size), 1, 0
         )  # (num_batches, D + 2F, batch)
-        y_e = target[perm[:keep]].reshape(num_batches, batch_size)
+        y_e = target[keep].reshape(num_batches, batch_size)
       else:
         aug_e = aug_t[jnp.newaxis]
         y_e = target[jnp.newaxis]
@@ -202,7 +217,7 @@ def init_opt_state(config, learning_rate, params):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_pallas_train_fn(
+def _make_shardmap_train_fn(
     config: field_lib.FieldConfig,
     distribution: likelihoods.LikelihoodDist,
     num_epochs: int,
@@ -214,42 +229,93 @@ def _make_pallas_train_fn(
     precision: str = 'f32',
     tile: int | None = None,
     subtiles: int = 1,
+    kernel: str = 'pallas',
 ):
-  """Ensemble training step backed by the fused Pallas MLP kernels.
+  """Ensemble training step under explicit `jax.shard_map` over the mesh.
 
-  Differences from the XLA path: the loss/grad is computed for the whole
-  (local) ensemble at once — encode via vmap, MLP via
-  `ops.fused_mlp.fused_field_mlp` (custom VJP) — and the program is wrapped
-  in `jax.shard_map` over the mesh (Pallas calls cannot be
-  GSPMD-partitioned automatically).
+  `kernel='pallas'` (the TPU-fast path) computes each step's loss/grad for
+  the whole local ensemble in one fused Pallas program
+  (`ops.fused_mlp.fused_train`; Pallas calls cannot be GSPMD-partitioned,
+  hence shard_map). `kernel='xla'` substitutes a vmapped autodiff
+  loss/grad with identical structure — it exists so a sharded-data
+  minibatch run has an XLA twin using the *same* per-shard RNG scheme,
+  making cross-backend agreement exact (up to matmul reassociation).
 
-  A data axis > 1 is supported for FULL-BATCH training (the large-N regime
-  the axis exists for): each device runs the kernel on its row shard and
-  the per-member losses/gradients are `psum`'d over 'data' — exact, since
-  the loss is a sum over rows. Any N works: rows pad up to the shard
-  multiple and each shard masks its own padded tail inside the kernel via
-  a dynamic valid-row count. Minibatch SGD with a sharded data axis
-  stays on the XLA backend (the per-member permutation gather is global).
+  A data axis > 1 is supported for BOTH regimes:
+
+  - FULL BATCH (the large-N regime the axis exists for): each device runs
+    the kernel on its row shard and per-member losses/gradients `psum`
+    over 'data' — exact, since the loss is a sum over rows. Any N works:
+    rows are stored in the balanced layout (`parallel/minibatch.py`) and
+    each shard masks its padded tail via a dynamic in-kernel valid-row
+    count.
+  - MINIBATCH SGD: per-shard local permutation — every epoch each member
+    reshuffles each shard's own rows and draws `batch_size / data_shards`
+    rows per step from that shard (requires divisibility; a documented
+    RNG deviation from the single-shard scheme, see
+    `parallel/minibatch.py`). Losses/grads still psum over 'data'.
   """
-  from bayesnf_tpu.ops import fused_mlp
-
   data_shards = mesh.shape[mesh_lib.DATA_AXIS]
   full_batch = batch_size == data_size
-  if data_shards != 1 and not full_batch:
+  if data_shards != 1 and not full_batch and batch_size % data_shards:
     raise ValueError(
-        "backend='pallas' with a sharded data axis supports full-batch "
-        'training only (minibatch permutation is a global gather); use '
-        "batch_size=None or backend='xla'."
+        f'minibatch training over a sharded data axis requires '
+        f'batch_size % data_shards == 0 (got {batch_size=}, '
+        f'{data_shards=}): each shard contributes batch_size/data_shards '
+        "rows per step. Adjust batch_size or use backend='xla' (global-"
+        'permutation fallback).'
     )
-  row_pad = (-data_size) % data_shards
-  local_rows = (data_size + row_pad) // data_shards
+  local_rows, _ = minibatch_lib.shard_counts(data_size, data_shards)
+  row_pad = local_rows * data_shards - data_size
+  local_batch = batch_size // data_shards if data_shards > 1 else batch_size
 
   optimizer = optax.adam(learning_rate)
   num_batches = data_size // batch_size
   d = config.num_inputs
   num_w = config.depth + 1
-  if tile is None:
-    tile = fused_mlp.pick_tile(config.width, min(batch_size, local_rows))
+  if kernel == 'pallas':
+    from bayesnf_tpu.ops import fused_mlp
+
+    if tile is None:
+      tile = fused_mlp.pick_tile(config.width, min(local_batch, local_rows))
+  elif kernel != 'xla':
+    raise ValueError(f'Unknown shard_map kernel: {kernel!r}')
+  compute_dtype = {
+      'f32': None, 'bf16': jnp.bfloat16, 'highest': 'highest'
+  }[precision]
+
+  def xla_losses_and_grads(params_b, aug_b, y_b, n_valid=None):
+    """Autodiff twin of `fused_losses_and_grads` (same signature/shapes)."""
+    lik_scale = data_size / batch_size
+
+    def member_loss(params, aug_bt, y_m):
+      pred = field_lib.apply_field_t(
+          config, params, aug_bt[:d], aug_bt[d:], compute_dtype=compute_dtype
+      )
+      w = None
+      if n_valid is not None:
+        w = (jnp.arange(aug_bt.shape[-1]) < n_valid).astype(jnp.float32)
+      return -lik_scale * likelihoods.log_likelihood(
+          distribution, params, pred, y_m, weights=w
+      )
+
+    in_axes = (0, None, None) if aug_b.ndim == 2 else (0, 0, 0)
+    losses, grads = jax.vmap(
+        jax.value_and_grad(member_loss), in_axes=in_axes
+    )(params_b, aug_b, y_b)
+    grads = list(grads)
+    if data_shards > 1:
+      losses = jax.lax.psum(losses, mesh_lib.DATA_AXIS)
+      grads = [jax.lax.psum(g, mesh_lib.DATA_AXIS) for g in grads]
+    if prior_weight != 0.0:
+      prior_losses, prior_grads = jax.vmap(
+          jax.value_and_grad(
+              lambda p: -prior_weight * priors.prior_log_prob(config, p)
+          )
+      )(params_b)
+      losses = losses + prior_losses
+      grads = [g + pg for g, pg in zip(grads, prior_grads)]
+    return losses, tuple(grads)
 
   def fused_losses_and_grads(params_b, aug_b, y_b, n_valid=None):
     """Losses and grads via the single-pass fused train kernel.
@@ -320,20 +386,25 @@ def _make_pallas_train_fn(
       grads = [g + pg for g, pg in zip(grads, prior_grads)]
     return losses, tuple(grads)
 
+  losses_and_grads = (
+      fused_losses_and_grads if kernel == 'pallas' else xla_losses_and_grads
+  )
+
   def shard_train(params_b, opt_b, keys_b, aug_t, target):
-    if row_pad:
-      # Row shards are unequal when N % shards != 0: shards hold
-      # `local_rows` stored rows, the last `row_pad` of the final shard
-      # being padding the kernel must mask (see fused_train's n_valid).
+    if row_pad and full_batch:
+      # Balanced layout: every shard holds a valid prefix of n_s rows
+      # (counts differ by at most 1); the kernel masks the padded tail.
       shard = jax.lax.axis_index(mesh_lib.DATA_AXIS)
-      n_valid = jnp.clip(data_size - shard * local_rows, 0, local_rows)
+      n_valid = minibatch_lib.local_valid_count(data_size, data_shards, shard)
     else:
+      # Minibatch rows are gathered from the valid prefix only (below), so
+      # every batch row is real and the kernel needs no mask.
       n_valid = None
 
     def one_step(carry, batch):
       params_b, opt_b = carry
       aug_b, y_b = batch
-      losses, grads = fused_losses_and_grads(params_b, aug_b, y_b, n_valid)
+      losses, grads = losses_and_grads(params_b, aug_b, y_b, n_valid)
       updates, opt_b = jax.vmap(optimizer.update)(grads, opt_b)
       params_b = optax.apply_updates(params_b, updates)
       return (tuple(params_b), opt_b), losses
@@ -346,20 +417,35 @@ def _make_pallas_train_fn(
         aug_e = aug_t[jnp.newaxis]
         y_e = target[jnp.newaxis]
       else:
-        keep = num_batches * batch_size
-        idx = jax.vmap(
-            lambda k: jax.random.permutation(k, data_size)[:keep]
-        )(permute_keys)  # (E, keep)
-        # Per-member gathered batches, features-major: (nb, E, F, B).
+        if data_shards == 1:
+          # Single shard: reference-compatible per-member global
+          # permutation (ragged tail dropped).
+          idx = jax.vmap(
+              lambda k: jax.random.permutation(k, data_size)[
+                  : num_batches * local_batch
+              ]
+          )(permute_keys)  # (E, consumed)
+        else:
+          # Per-shard local permutation of this shard's valid prefix
+          # (documented RNG deviation; see parallel/minibatch.py). Both
+          # shard_map kernels run exactly this code.
+          shard = jax.lax.axis_index(mesh_lib.DATA_AXIS)
+          nv = minibatch_lib.local_valid_count(data_size, data_shards, shard)
+          idx = jax.vmap(
+              lambda k: minibatch_lib.local_permutation(
+                  k, shard, local_rows, nv, num_batches * local_batch
+              )
+          )(permute_keys)  # (E, consumed)
+        # Per-member gathered batches, features-major: (nb, E, F, B_local).
         aug_e = jnp.moveaxis(
             aug_t[:, idx].reshape(
-                -1, idx.shape[0], num_batches, batch_size
+                -1, idx.shape[0], num_batches, local_batch
             ),
             2,
             0,
         ).transpose(0, 2, 1, 3)
         y_e = jnp.moveaxis(
-            target[idx].reshape(idx.shape[0], num_batches, batch_size), 1, 0
+            target[idx].reshape(idx.shape[0], num_batches, local_batch), 1, 0
         )
       (params_b, opt_b), losses = jax.lax.scan(
           one_step, (params_b, opt_b), (aug_e, y_e)
@@ -437,9 +523,12 @@ def ensemble_map(
       with bf16 operands), 'bf16' (explicit bf16 MXU operands, f32
       parameters and accumulation), or 'highest' (multi-pass true-f32
       MXU arithmetic, ~2-3x slower matmuls).
-    backend: 'xla', 'pallas' (fused Pallas MLP kernels via shard_map;
-      a sharded data axis is supported for full-batch training, where
-      losses/grads psum over 'data'), or 'auto' (pallas on TPU when the
+    backend: 'xla', 'pallas' (fused Pallas MLP kernels via shard_map; a
+      sharded data axis is supported both full-batch — losses/grads psum
+      over 'data' — and minibatch, where each shard contributes
+      batch_size/data_shards rows per step via a per-shard local
+      permutation shared with the XLA shard_map twin; requires
+      batch_size % data_shards == 0), or 'auto' (pallas on TPU when the
       mesh/batch allow it, with loud fallback to xla on kernel build
       failure; xla otherwise).
 
@@ -455,9 +544,13 @@ def ensemble_map(
   data_size = int(target.shape[0])
   if batch_size is None or batch_size > data_size:
     batch_size = data_size
+  data_shards = mesh.shape[mesh_lib.DATA_AXIS]
   auto_resolved = backend == 'auto'
   backend = backends.resolve_backend(
-      backend, mesh, full_batch=batch_size == data_size
+      backend,
+      mesh,
+      full_batch=batch_size == data_size,
+      batch_divisible=batch_size % data_shards == 0,
   )
   multiproc = dist_lib.is_multiprocess_mesh(mesh)
 
@@ -479,14 +572,16 @@ def ensemble_map(
   aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
   target = jnp.asarray(target, dtype=jnp.float32)
 
-  # An uneven data axis (N % data_devices != 0) pads the stored rows up to
-  # the shard multiple; both backends exclude the padding exactly (zero
-  # weights on 'xla', an in-kernel valid-row mask on 'pallas'), and the
-  # minibatch permutation never indexes it.
-  row_pad = (-data_size) % mesh.shape[mesh_lib.DATA_AXIS]
+  # An uneven data axis (N % data_devices != 0) stores rows in the
+  # balanced layout — each shard holds a valid prefix, counts differing by
+  # at most 1 (parallel/minibatch.py). Both backends exclude the padding
+  # exactly (zero weights on the GSPMD path, an in-kernel valid-row mask
+  # under shard_map), and minibatch permutations never index it.
+  row_pad = (-data_size) % data_shards
   if row_pad:
-    aug_t = jnp.pad(aug_t, ((0, 0), (0, row_pad)))
-    target = jnp.pad(target, (0, row_pad))
+    aug_t, target = minibatch_lib.pad_rows_balanced(
+        aug_t, target, data_size, data_shards
+    )
 
   num_epochs = int(num_epochs)
   start_epoch = 0
@@ -515,6 +610,11 @@ def ensemble_map(
             # resume must refuse to continue xla-written chunks on pallas
             # (or vice versa) rather than silently mixing numerics.
             backend=backend,
+            # The data-axis extent fixes the row layout, the psum
+            # reduction grouping, AND the sharded-minibatch RNG scheme —
+            # a resume on a different extent would silently change all
+            # three.
+            data_shards=data_shards,
         ),
     )
     restored = checkpointer.restore_latest()
@@ -542,10 +642,30 @@ def ensemble_map(
     target = dist_lib.make_global(target, mesh_lib.data_sharding(mesh))
 
   def make_train(chunk_epochs):
-    if backend == 'pallas':
-      from bayesnf_tpu.ops import fused_mlp
+    if backend not in ('pallas', 'xla'):
+      raise ValueError(f'Unknown backend: {backend!r}')
+    # Sharded-data minibatch with a shard-divisible batch runs the
+    # shard_map program even on the XLA backend: both backends then share
+    # the per-shard permutation scheme (parallel/minibatch.py), so they
+    # agree batch-for-batch and rows never leave their shard. A
+    # non-divisible batch keeps the GSPMD path (global permutation,
+    # reference RNG). Recomputed here because `backend` can flip to 'xla'
+    # on a pallas probe fallback.
+    use_shardmap = backend == 'pallas' or (
+        data_shards > 1
+        and batch_size < data_size
+        and batch_size % data_shards == 0
+    )
+    if use_shardmap:
+      if backend == 'pallas':
+        from bayesnf_tpu.ops import fused_mlp
 
-      return _make_pallas_train_fn(
+        # Resolve the env var HERE so it participates in the factory's
+        # lru_cache key (a changed knob must not reuse a stale program).
+        subtiles = fused_mlp.resolve_subtiles()
+      else:
+        subtiles = 1
+      return _make_shardmap_train_fn(
           config,
           distribution,
           chunk_epochs,
@@ -555,12 +675,9 @@ def ensemble_map(
           float(prior_weight),
           mesh,
           precision,
-          # Resolve the env var HERE so it participates in the factory's
-          # lru_cache key (a changed knob must not reuse a stale program).
-          subtiles=fused_mlp.resolve_subtiles(),
+          subtiles=subtiles,
+          kernel=backend,
       )
-    if backend != 'xla':
-      raise ValueError(f'Unknown backend: {backend!r}')
     return _make_train_fn(
         config,
         distribution,

@@ -34,6 +34,7 @@ from bayesnf_tpu.models import likelihoods
 from bayesnf_tpu.models import priors
 from bayesnf_tpu.ops import special
 from bayesnf_tpu.parallel import mesh as mesh_lib
+from bayesnf_tpu.parallel import minibatch as minibatch_lib
 
 
 def init_surrogate(config: field_lib.FieldConfig, key: jax.Array):
@@ -109,9 +110,18 @@ def _make_vi_fn(
         loglik * (data_size / batch_size) / kl_weight
     )
 
+  data_shards = mesh.shape[mesh_lib.DATA_AXIS]
+  # Balanced-layout stored-position map for the minibatch permutation
+  # (identity when there is no padding); see inference/map.py.
+  stored_pos = (
+      jnp.asarray(minibatch_lib.stored_positions(data_size, data_shards))
+      if row_pad
+      else None
+  )
+
   def member_fit(surrogate, opt_state, key, aug_t, target):
     row_w = (
-        (jnp.arange(data_size + row_pad) < data_size).astype(jnp.float32)
+        minibatch_lib.valid_row_weights(data_size, data_shards)
         if row_pad and full_batch
         else None
     )
@@ -133,6 +143,8 @@ def _make_vi_fn(
       key, sample_key, batch_key = jax.random.split(key, 3)
       if batch_size < data_size:
         idx = jax.random.permutation(batch_key, data_size)[:batch_size]
+        if stored_pos is not None:
+          idx = stored_pos[idx]
         aug_bt, y_b = aug_t[:, idx], target[idx]
       else:
         aug_bt, y_b = aug_t, target
@@ -177,7 +189,7 @@ def init_vi_opt_state(learning_rate, surrogate):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_pallas_vi_fn(
+def _make_shardmap_vi_fn(
     config: field_lib.FieldConfig,
     distribution: likelihoods.LikelihoodDist,
     num_steps: int,
@@ -190,43 +202,56 @@ def _make_pallas_vi_fn(
     precision: str = 'f32',
     tile: int | None = None,
     subtiles: int = 1,
+    kernel: str = 'pallas',
 ):
-  """Ensemble-VI step backed by the fused Pallas MLP kernels.
+  """Ensemble-VI step under explicit `jax.shard_map` over the mesh.
 
-  The ELBO's MC-sample axis is folded into the kernel's *member* axis:
-  each reparametrized draw carries its own sampled weights, so the local
-  ensemble presents (E_local * sample_size) independent parameter sets to
-  one `fused_train` invocation (any observation model). Per-member RNG
-  (step key splits, draw sampling, minibatch permutation) matches
-  `_make_vi_fn` exactly, so the two backends agree up to matmul
+  `kernel='pallas'`: the ELBO's MC-sample axis is folded into the fused
+  train kernel's *member* axis — each reparametrized draw carries its own
+  sampled weights, so the local ensemble presents (E_local * sample_size)
+  independent parameter sets to one `fused_train` invocation (any
+  observation model), and each member's minibatch feeds all of its draws
+  through the kernel's index maps (no S-fold HBM copy). `kernel='xla'`
+  substitutes a vmapped autodiff NLL with identical RNG structure — the
+  XLA twin for sharded-minibatch agreement testing. Per-member RNG (step
+  key splits, draw sampling, minibatch permutation) matches `_make_vi_fn`
+  exactly on an unsharded data axis, so backends agree up to matmul
   reassociation.
 
-  Wrapped in `jax.shard_map` over the mesh (Pallas calls are not
-  GSPMD-partitionable). A data axis > 1 is supported for full-batch
-  training: the kernel runs per row shard and the negative log-likelihood
-  and its gradients psum over 'data' inside the custom-VJP wrapper. Any N
-  works — the caller pads rows to the shard multiple and each shard masks
-  its padded tail via the kernel's dynamic valid-row count.
+  A data axis > 1 is supported for BOTH regimes (see
+  `inference/map.py:_make_shardmap_train_fn` — full batch psums the NLL
+  and its gradients over 'data'; minibatch uses the per-shard local
+  permutation of `parallel/minibatch.py`, resampled every step, and
+  requires batch_size % data_shards == 0).
   """
-  from bayesnf_tpu.ops import fused_mlp
-
   data_shards = mesh.shape[mesh_lib.DATA_AXIS]
   full_batch = batch_size == data_size
-  if data_shards != 1 and not full_batch:
+  if data_shards != 1 and not full_batch and batch_size % data_shards:
     raise ValueError(
-        "backend='pallas' with a sharded data axis supports full-batch "
-        'training only (minibatch permutation is a global gather); use '
-        "batch_size=None or backend='xla'."
+        f'minibatch VI over a sharded data axis requires '
+        f'batch_size % data_shards == 0 (got {batch_size=}, '
+        f'{data_shards=}): each shard contributes batch_size/data_shards '
+        "rows per step. Adjust batch_size or use backend='xla' (global-"
+        'permutation fallback).'
     )
-  row_pad = (-data_size) % data_shards
-  local_rows = (data_size + row_pad) // data_shards
+  local_rows, _ = minibatch_lib.shard_counts(data_size, data_shards)
+  row_pad = local_rows * data_shards - data_size
+  local_batch = batch_size // data_shards if data_shards > 1 else batch_size
 
   optimizer = optax.adam(learning_rate)
   d = config.num_inputs
   num_w = config.depth + 1
   lik_scale = (data_size / batch_size) / kl_weight
-  if tile is None:
-    tile = fused_mlp.pick_tile(config.width, min(batch_size, local_rows))
+  compute_dtype = {
+      'f32': None, 'bf16': jnp.bfloat16, 'highest': 'highest'
+  }[precision]
+  if kernel == 'pallas':
+    from bayesnf_tpu.ops import fused_mlp
+
+    if tile is None:
+      tile = fused_mlp.pick_tile(config.width, min(local_batch, local_rows))
+  elif kernel != 'xla':
+    raise ValueError(f'Unknown shard_map kernel: {kernel!r}')
 
   def make_kernel_nll(aug_bt, y_b, n_valid=None):
     """lik_scale * -loglik as a custom-VJP op over the fused train kernel.
@@ -309,8 +334,40 @@ def _make_pallas_vi_fn(
     kernel_nll.defvjp(fwd, bwd)
     return kernel_nll
 
+  def xla_nll(z, aug_bt, y_b, n_valid=None):
+    """Local-shard NLL per (member, draw) via autodiff-able vmaps.
+
+    Twin of the fused kernel's NLL with the same draw-minor flattening;
+    per-member batches serve all of a member's draws through vmap axes
+    (no S-fold materialization). Returns the LOCAL shard's row sum — the
+    caller psums (kernel='xla' one_step) when the data axis is sharded.
+    """
+
+    def member(zm, aug_m, y_m):
+      pred = field_lib.apply_field_t(
+          config, zm, aug_m[:d], aug_m[d:], compute_dtype=compute_dtype
+      )
+      w = None
+      if n_valid is not None:
+        w = (jnp.arange(aug_m.shape[-1]) < n_valid).astype(jnp.float32)
+      return -lik_scale * likelihoods.log_likelihood(
+          distribution, zm, pred, y_m, weights=w
+      )
+
+    per_draw = jax.vmap(member, in_axes=(0, None, None))  # over S draws
+    batch_axes = (0, None, None) if aug_bt.ndim == 2 else (0, 0, 0)
+    nll = jax.vmap(per_draw, in_axes=batch_axes)(z, aug_bt, y_b)
+    return nll.reshape(-1)  # (E_local * S,), draw-minor like z_f
+
   def elbo_losses(surrogate, sample_keys, aug_bt, y_b, n_valid=None):
-    """(E_local,) per-member negative ELBO (mean over MC draws)."""
+    """(E_local,) per-member negative ELBO (mean over MC draws).
+
+    kernel='pallas' returns fully data-reduced losses (the custom-VJP NLL
+    psums inside). kernel='xla' returns LOCAL losses with the replicated
+    terms (log q, prior) pre-scaled by 1/data_shards, so that the caller's
+    psum over 'data' counts them exactly once — this keeps the whole ELBO
+    inside one `value_and_grad` with a plain post-hoc psum of the grads.
+    """
     locs, raw_scales = surrogate
     scales = surrogate_scales(raw_scales)
     # Per-member draws, exactly as the XLA path's per-member
@@ -321,29 +378,32 @@ def _make_pallas_vi_fn(
     e_local = z[0].shape[0]
     z_f = tuple(p.reshape((e_local * sample_size,) + p.shape[2:]) for p in z)
 
-    per_member_batch = aug_bt.ndim == 3
-    if per_member_batch:
-      # Per-member minibatch: repeat each member's batch across its draws.
-      aug_f = jnp.repeat(aug_bt, sample_size, axis=0)
-      y_f = jnp.repeat(y_b, sample_size, axis=0)
+    if kernel == 'pallas':
+      # Per-member minibatches (leading dim E_local) feed the
+      # (E_local * S)-member kernel directly: `fused_train`'s index maps
+      # serve each member's one stored batch to all S of its draws — no
+      # S-fold HBM materialization (the kernel member m reads batch group
+      # m // S, matching the draw-major z_f reshape above).
+      nll = make_kernel_nll(aug_bt, y_b, n_valid)(z_f)  # (ES,) reduced
+      rs = 1.0
     else:
-      aug_f, y_f = aug_bt, y_b
-
-    nll = make_kernel_nll(aug_f, y_f, n_valid)(z_f)  # (ES,) -loglik*lik_scale
+      nll = xla_nll(z, aug_bt, y_b, n_valid)  # (ES,) LOCAL shard sum
+      rs = 1.0 / data_shards
     prior = jax.vmap(lambda p: priors.prior_log_prob(config, p))(z_f)
-    target = (prior - nll).reshape(e_local, sample_size)
+    target = (rs * prior - nll).reshape(e_local, sample_size)
     logq = jax.vmap(
         jax.vmap(_surrogate_log_prob, in_axes=(None, None, 0)),
         in_axes=(0, 0, 0),
     )(locs, scales, z)  # (E_local, S)
-    return (logq - target).mean(axis=1)
+    return (rs * logq - target).mean(axis=1)
 
   def shard_fit(surrogate, opt_state, keys, aug_t, target):
-    if row_pad:
-      # Uneven row shards: each shard masks its own padded tail in-kernel.
+    if row_pad and full_batch:
+      # Balanced layout: each shard masks its own padded tail in-kernel.
       shard = jax.lax.axis_index(mesh_lib.DATA_AXIS)
-      n_valid = jnp.clip(data_size - shard * local_rows, 0, local_rows)
+      n_valid = minibatch_lib.local_valid_count(data_size, data_shards, shard)
     else:
+      # Minibatch rows come from the valid prefix only — no mask needed.
       n_valid = None
 
     def one_step(carry, _):
@@ -352,10 +412,21 @@ def _make_pallas_vi_fn(
       keys, sample_keys, batch_keys = split[:, 0], split[:, 1], split[:, 2]
       if full_batch:
         aug_bt, y_b = aug_t, target
-      else:
+      elif data_shards == 1:
         idx = jax.vmap(
             lambda k: jax.random.permutation(k, data_size)[:batch_size]
         )(batch_keys)  # (E_local, B)
+        aug_bt, y_b = aug_t[:, idx].transpose(1, 0, 2), target[idx]
+      else:
+        # Per-shard local resampling each step (documented RNG deviation;
+        # see parallel/minibatch.py). Identical across shard_map kernels.
+        shard = jax.lax.axis_index(mesh_lib.DATA_AXIS)
+        nv = minibatch_lib.local_valid_count(data_size, data_shards, shard)
+        idx = jax.vmap(
+            lambda k: minibatch_lib.local_permutation(
+                k, shard, local_rows, nv, local_batch
+            )
+        )(batch_keys)  # (E_local, B_local)
         aug_bt, y_b = aug_t[:, idx].transpose(1, 0, 2), target[idx]
 
       def total(surrogate):
@@ -363,6 +434,13 @@ def _make_pallas_vi_fn(
         return losses.sum(), losses
 
       (_, losses), grads = jax.value_and_grad(total, has_aux=True)(surrogate)
+      if kernel == 'xla' and data_shards > 1:
+        # elbo_losses returned shard-local values (replicated terms
+        # pre-scaled by 1/data_shards): reduce to the full ELBO here.
+        losses = jax.lax.psum(losses, mesh_lib.DATA_AXIS)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, mesh_lib.DATA_AXIS), grads
+        )
       updates, opt_state = jax.vmap(optimizer.update)(grads, opt_state)
       surrogate = optax.apply_updates(surrogate, updates)
       return (surrogate, opt_state, keys), losses
@@ -464,9 +542,12 @@ def fit_vi(
       accumulation), or 'highest' (multi-pass true-f32 MXU arithmetic).
     backend: 'xla', 'pallas' (fused Pallas MLP kernels with the MC-sample
       axis folded into the kernel member axis; a sharded data axis is
-      supported for full-batch fits, where the NLL/grads psum over
-      'data'), or 'auto' (pallas on TPU when the mesh/batch allow it,
-      with loud fallback to xla on kernel build failure; xla otherwise).
+      supported both full-batch — NLL/grads psum over 'data' — and
+      minibatch, where each shard resamples batch_size/data_shards of its
+      own rows per step via the scheme shared with the XLA shard_map
+      twin; requires batch_size % data_shards == 0), or 'auto' (pallas on
+      TPU when the mesh/batch allow it, with loud fallback to xla on
+      kernel build failure; xla otherwise).
 
   Returns:
     (surrogate, losses, draws):
@@ -482,9 +563,13 @@ def fit_vi(
   data_size = int(target.shape[0])
   if batch_size is None or batch_size > data_size:
     batch_size = data_size
+  data_shards = mesh.shape[mesh_lib.DATA_AXIS]
   auto_resolved = backend == 'auto'
   backend = backends.resolve_backend(
-      backend, mesh, full_batch=batch_size == data_size
+      backend,
+      mesh,
+      full_batch=batch_size == data_size,
+      batch_divisible=batch_size % data_shards == 0,
   )
   multiproc = dist_lib.is_multiprocess_mesh(mesh)
   distribution = likelihoods.LikelihoodDist(observation_model)
@@ -499,12 +584,13 @@ def fit_vi(
   aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
   target = jnp.asarray(target, dtype=jnp.float32)
 
-  # Uneven data axis: pad stored rows to the shard multiple; both backends
-  # exclude the padding exactly (see ensemble_map).
-  row_pad = (-data_size) % mesh.shape[mesh_lib.DATA_AXIS]
+  # Uneven data axis: balanced stored-row layout (each shard a valid
+  # prefix); both backends exclude the padding exactly (see ensemble_map).
+  row_pad = (-data_size) % data_shards
   if row_pad:
-    aug_t = jnp.pad(aug_t, ((0, 0), (0, row_pad)))
-    target = jnp.pad(target, (0, row_pad))
+    aug_t, target = minibatch_lib.pad_rows_balanced(
+        aug_t, target, data_size, data_shards
+    )
 
   num_steps = int(num_epochs)
   start_step = 0
@@ -531,6 +617,9 @@ def fit_vi(
             # Resolved backend: see inference/map.py — a resume must not
             # silently mix xla- and pallas-chunk numerics.
             backend=backend,
+            # Data-axis extent fixes row layout, psum grouping, and the
+            # sharded-minibatch RNG scheme (see inference/map.py).
+            data_shards=data_shards,
         ),
     )
     restored = checkpointer.restore_latest()
@@ -564,10 +653,26 @@ def fit_vi(
     target = dist_lib.make_global(target, mesh_lib.data_sharding(mesh))
 
   def make_fit(chunk_steps):
-    if backend == 'pallas':
-      from bayesnf_tpu.ops import fused_mlp
+    if backend not in ('pallas', 'xla'):
+      raise ValueError(f'Unknown backend: {backend!r}')
+    # Shard_map routing mirrors inference/map.py: pallas always; xla too
+    # for a sharded-data divisible minibatch, so both backends share the
+    # per-shard permutation scheme. Recomputed each call because
+    # `backend` can flip to 'xla' on a pallas probe fallback.
+    use_shardmap = backend == 'pallas' or (
+        data_shards > 1
+        and batch_size < data_size
+        and batch_size % data_shards == 0
+    )
+    if use_shardmap:
+      if backend == 'pallas':
+        from bayesnf_tpu.ops import fused_mlp
 
-      return _make_pallas_vi_fn(
+        # Resolved here so the env knob is part of the lru_cache key.
+        subtiles = fused_mlp.resolve_subtiles()
+      else:
+        subtiles = 1
+      return _make_shardmap_vi_fn(
           config,
           distribution,
           chunk_steps,
@@ -578,11 +683,9 @@ def fit_vi(
           float(kl_weight),
           mesh,
           precision,
-          # Resolved here so the env knob is part of the lru_cache key.
-          subtiles=fused_mlp.resolve_subtiles(),
+          subtiles=subtiles,
+          kernel=backend,
       )
-    if backend != 'xla':
-      raise ValueError(f'Unknown backend: {backend!r}')
     return _make_vi_fn(
         config,
         distribution,

@@ -1234,9 +1234,14 @@ def fused_train(
     input_scales: static (D,) input scale divisors.
     fourier_degrees: static (D,) octave counts per input dim.
     interactions: static ((a, b), ...) input-dim pairs.
-    x_t: (D, N) shared raw inputs, or (E, D, N) per-member rows.
-    seasonal_t: (2F, N) shared precomputed seasonal rows (or (E, 2F, N));
-      pass an array with first feature dim 0 when there are none.
+    x_t: (D, N) shared raw inputs, or (E, D, N) per-member rows. A leading
+      dim of E/rep for integer rep > 1 is also accepted: each stored row
+      group serves `rep` consecutive kernel members (used when MC draws
+      are folded into the member axis — one copy of each member's batch
+      feeds all of its draws, no HBM repeat).
+    seasonal_t: (2F, N) shared precomputed seasonal rows (or (E, 2F, N) /
+      (E/rep, 2F, N)); pass an array with first feature dim 0 when there
+      are none.
     weights: tuple of depth+1 (E, fan_in, fan_out) arrays.
     biases: tuple of depth+1 (E, fan_out) arrays.
     lsa: (E, D) log scale adjustments.
@@ -1245,7 +1250,8 @@ def fused_train(
     logit: (E,) activation-blend logits.
     obs_raw: (E, 3) observation scalars per member:
       (log_noise_scale, nb_shape_raw, zinb_logit).
-    y: (N,) shared targets or (E, N) per-member targets.
+    y: (N,) shared targets or (E, N) per-member targets ((E/rep, N) group
+      form accepted, as for `x_t`).
     precision: 'f32', 'bf16' (bf16 MXU operands, f32 accumulation; the
       encode, likelihood, and all size-1-minor dots stay f32), or
       'highest' (multi-pass true-f32 MXU arithmetic).
@@ -1282,13 +1288,25 @@ def fused_train(
     return _pad_cols(a[None] if a.ndim == 2 else a, tile)
 
   def spec_for(a, rows):
-    per_member = a.ndim == 3
-    return pl.BlockSpec(
-        (1, rows, tile),
-        (lambda e_, t_: (e_, 0, t_)) if per_member else
-        (lambda e_, t_: (0, 0, t_)),
-        memory_space=pltpu.VMEM,
-    )
+    """Block spec for a data input: shared (2-D), per-member (leading E),
+    or per-member-group (leading E/rep for integer rep > 1 — the same rows
+    serve `rep` consecutive kernel members; used when MC draws are folded
+    into the member axis so each member's minibatch need not be
+    materialized once per draw)."""
+    if a.ndim == 2:
+      index_map = lambda e_, t_: (0, 0, t_)
+    else:
+      rep = e // a.shape[0]
+      if rep * a.shape[0] != e:
+        raise ValueError(
+            f'per-member input leading dim {a.shape[0]} must divide the '
+            f'member count {e}.'
+        )
+      index_map = (
+          (lambda e_, t_: (e_ // rep, 0, t_)) if rep > 1 else
+          (lambda e_, t_: (e_, 0, t_))
+      )
+    return pl.BlockSpec((1, rows, tile), index_map, memory_space=pltpu.VMEM)
 
   x3 = shared3(x_t)
   x_spec = spec_for(x_t, d_in)
@@ -1302,12 +1320,20 @@ def fused_train(
 
   y_per_member = y.ndim == 2
   y3 = _pad_cols(y[:, None, :] if y_per_member else y[None, None, :], tile)
-  y_spec = pl.BlockSpec(
-      (1, 1, tile),
-      (lambda e_, t_: (e_, 0, t_)) if y_per_member else
-      (lambda e_, t_: (0, 0, t_)),
-      memory_space=pltpu.VMEM,
-  )
+  if y_per_member:
+    y_rep = e // y.shape[0]
+    if y_rep * y.shape[0] != e:
+      raise ValueError(
+          f'per-member y leading dim {y.shape[0]} must divide the member '
+          f'count {e}.'
+      )
+    y_index_map = (
+        (lambda e_, t_: (e_ // y_rep, 0, t_)) if y_rep > 1 else
+        (lambda e_, t_: (e_, 0, t_))
+    )
+  else:
+    y_index_map = lambda e_, t_: (0, 0, t_)
+  y_spec = pl.BlockSpec((1, 1, tile), y_index_map, memory_space=pltpu.VMEM)
 
   fan_ins = [f] + list(widths[:-1])
   w_specs = [

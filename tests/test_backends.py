@@ -50,24 +50,31 @@ def test_auto_is_pallas_on_tpu_with_unsharded_data(monkeypatch):
   assert backends.resolve_backend('auto', mesh) == 'pallas'
 
 
-def test_auto_is_xla_on_tpu_with_sharded_data(monkeypatch):
+def test_auto_is_xla_on_tpu_with_sharded_nondivisible_minibatch(monkeypatch):
+  """The one sharded regime pallas cannot run: minibatch SGD whose batch
+  does not divide the data axis (global permutation gather)."""
   monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
   devices = np.array(jax.devices()).reshape(-1, 2)
   mesh = jax.sharding.Mesh(
       devices, (mesh_lib.ENSEMBLE_AXIS, mesh_lib.DATA_AXIS)
   )
-  assert backends.resolve_backend('auto', mesh) == 'xla'
+  assert backends.resolve_backend(
+      'auto', mesh, full_batch=False, batch_divisible=False
+  ) == 'xla'
 
 
-def test_auto_on_tpu_with_sharded_data_full_batch(monkeypatch):
-  """Full batch on a sharded data axis resolves to pallas (any N)."""
+def test_auto_on_tpu_with_sharded_data(monkeypatch):
+  """Pallas covers a sharded data axis both full-batch (any N) and for a
+  shard-divisible minibatch (per-shard local permutation)."""
   monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
   devices = np.array(jax.devices()).reshape(-1, 2)
   mesh = jax.sharding.Mesh(
       devices, (mesh_lib.ENSEMBLE_AXIS, mesh_lib.DATA_AXIS)
   )
   assert backends.resolve_backend('auto', mesh, full_batch=True) == 'pallas'
-  assert backends.resolve_backend('auto', mesh, full_batch=False) == 'xla'
+  assert backends.resolve_backend(
+      'auto', mesh, full_batch=False, batch_divisible=True
+  ) == 'pallas'
 
 
 def test_auto_pallas_build_failure_falls_back_to_xla(monkeypatch, capsys):
@@ -81,7 +88,7 @@ def test_auto_pallas_build_failure_falls_back_to_xla(monkeypatch, capsys):
   def broken_pallas(*args, **kwargs):
     raise RuntimeError('Mosaic failed to compile TPU kernel (simulated)')
 
-  monkeypatch.setattr(map_lib, '_make_pallas_train_fn', broken_pallas)
+  monkeypatch.setattr(map_lib, '_make_shardmap_train_fn', broken_pallas)
 
   config = _tiny_config()
   rng = np.random.default_rng(0)
@@ -145,7 +152,7 @@ def test_auto_probe_compiles_once_per_chunk_size(monkeypatch, tmp_path, capsys):
       lambda b, m, **kw: 'pallas' if b == 'auto' else b,
   )
   calls = _counting_pallas_factory(
-      monkeypatch, map_lib, '_make_pallas_train_fn'
+      monkeypatch, map_lib, '_make_shardmap_train_fn'
   )
   config = _tiny_config()
   aug, y = _tiny_train_data(config)
@@ -179,7 +186,7 @@ def test_probe_reuse_respects_subtiles_knob(monkeypatch, tmp_path, capsys):
       lambda b, m, **kw: 'pallas' if b == 'auto' else b,
   )
   calls = _counting_pallas_factory(
-      monkeypatch, map_lib, '_make_pallas_train_fn'
+      monkeypatch, map_lib, '_make_shardmap_train_fn'
   )
   config = _tiny_config()
   aug, y = _tiny_train_data(config)
@@ -219,7 +226,7 @@ def test_vi_probe_compiles_once_per_chunk_size(monkeypatch, tmp_path, capsys):
       'resolve_backend',
       lambda b, m, **kw: 'pallas' if b == 'auto' else b,
   )
-  calls = _counting_pallas_factory(monkeypatch, vi_lib, '_make_pallas_vi_fn')
+  calls = _counting_pallas_factory(monkeypatch, vi_lib, '_make_shardmap_vi_fn')
   config = _tiny_config()
   aug, y = _tiny_train_data(config)
 
@@ -239,7 +246,7 @@ def test_auto_explicit_pallas_failure_is_not_swallowed(monkeypatch):
   def broken_pallas(*args, **kwargs):
     raise RuntimeError('Mosaic failed to compile TPU kernel (simulated)')
 
-  monkeypatch.setattr(map_lib, '_make_pallas_train_fn', broken_pallas)
+  monkeypatch.setattr(map_lib, '_make_shardmap_train_fn', broken_pallas)
 
   config = _tiny_config()
   rng = np.random.default_rng(0)

@@ -345,6 +345,36 @@ class TestFusedTrain:
           np.asarray(got), want, rtol=grad_tol[0], atol=grad_tol[1],
           err_msg=name)
 
+  def test_grouped_inputs_match_repeat(self):
+    """Per-member-group inputs (leading dim E/rep) are served to `rep`
+    consecutive members by the index maps — bitwise identical to feeding
+    explicitly repeated inputs. This is the VI fused path's no-HBM-repeat
+    contract for MC draws folded into the member axis."""
+    config, params, x_t, seas, y, _ = self._setup(per_member_x=True)
+    rep = 2
+    # Member order must be draw-minor: kernel member m reads group m // rep.
+    params_r = tuple(
+        jnp.stack([p, p * 1.05 + 0.01], axis=1).reshape((-1,) + p.shape[1:])
+        for p in params
+    )
+    lik_scale = 1.3
+    got_l, got_pairs = self._run_fused(
+        'NORMAL', config, params_r, x_t, seas, y, lik_scale)
+    want_l, want_pairs = self._run_fused(
+        'NORMAL', config, params_r,
+        jnp.repeat(x_t, rep, axis=0), jnp.repeat(seas, rep, axis=0),
+        jnp.repeat(y, rep, axis=0), lik_scale)
+    np.testing.assert_array_equal(np.asarray(got_l), np.asarray(want_l))
+    for name in got_pairs:
+      np.testing.assert_array_equal(
+          np.asarray(got_pairs[name][0]), np.asarray(want_pairs[name][0]),
+          err_msg=name)
+
+  def test_grouped_inputs_reject_non_divisor(self):
+    config, params, x_t, seas, y, _ = self._setup(per_member_x=True)
+    with pytest.raises(ValueError, match='must divide'):
+      self._run_fused('NORMAL', config, params, x_t[:2], seas[:2], y, 1.0)
+
   @pytest.mark.parametrize('distribution', ['NORMAL', 'NB', 'ZINB'])
   def test_dynamic_n_valid_masks_padding(self, distribution):
     """Junk rows past a traced n_valid contribute nothing — exact match.

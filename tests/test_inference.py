@@ -268,6 +268,59 @@ class TestPredict:
       # Integer-valued quantiles: must match exactly.
       np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+  def test_mesh_pallas_forward_matches_xla_mesh(self):
+    """Mesh-parallel fused predict: the shard_map'd Pallas forward over an
+    ('ens' x 'data') mesh agrees with the XLA mesh path (and hence, via
+    the meshless agreement tests, with the single-program oracle). N=90
+    exercises chunk padding of the row shards."""
+    config = _small_config()
+    x, y = _small_data(n=90)
+    params = self._fit(config, x, y)
+    mesh = mesh_lib.default_mesh(data_devices=2)
+    m_x, q_x = predict_lib.predict_bnf(
+        x, 'NORMAL', params, config, (0.5, 0.975), ensemble_dims=2,
+        chunk_size=32, mesh=mesh, backend='xla',
+    )
+    m_p, q_p = predict_lib.predict_bnf(
+        x, 'NORMAL', params, config, (0.5, 0.975), ensemble_dims=2,
+        chunk_size=32, mesh=mesh, backend='pallas',
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_x), np.asarray(m_p), rtol=1e-4, atol=1e-5
+    )
+    for a, b in zip(q_x, q_p):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+      )
+
+  def test_mesh_pallas_forward_matches_xla_mesh_nb(self):
+    """Count-model mesh-parallel fused predict: integer quantiles from the
+    sharded fused forward match the XLA mesh path within one count."""
+    config = _small_config()
+    x, y = _small_data(n=70)
+    y_nb = np.round(np.exp(np.asarray(y) / 4.0)).astype(np.float32)
+    params, _ = map_lib.ensemble_map(
+        _aug(config, x), jnp.asarray(y_nb), config,
+        likelihoods.LikelihoodDist.NB,
+        ensemble_size=4, learning_rate=0.01, num_epochs=30,
+        seed=jax.random.PRNGKey(0),
+    )
+    params = tuple(p[jnp.newaxis] for p in params)
+    mesh = mesh_lib.default_mesh(data_devices=2)
+    m_x, q_x = predict_lib.predict_bnf(
+        x, 'NB', params, config, (0.5, 0.9), ensemble_dims=2,
+        chunk_size=32, mesh=mesh, backend='xla',
+    )
+    m_p, q_p = predict_lib.predict_bnf(
+        x, 'NB', params, config, (0.5, 0.9), ensemble_dims=2,
+        chunk_size=32, mesh=mesh, backend='pallas',
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_x), np.asarray(m_p), rtol=1e-4, atol=1e-5
+    )
+    for a, b in zip(q_x, q_p):
+      assert np.max(np.abs(np.asarray(a) - np.asarray(b))) <= 1.0
+
   def test_approximate_close_to_exact(self):
     config = _small_config()
     x, y = _small_data(n=80)
@@ -392,17 +445,47 @@ class TestPallasBackend:
             err_msg=backend,
         )
 
-  def test_data_sharded_minibatch_pallas_rejected(self):
+  def test_data_sharded_minibatch_matches_xla(self):
+    """Minibatch SGD over a sharded data axis (the BASELINE config-5 /
+    VI-registry regime): both backends run the per-shard local-permutation
+    scheme of parallel/minibatch.py under shard_map, so they agree
+    batch-for-batch. N=97 also exercises the balanced padded layout."""
+    config = _small_config(width=16, depth=1)
+    x, y = _small_data(n=97)
+    mesh = mesh_lib.default_mesh(data_devices=2)
+    common = dict(
+        aug_features=_aug(config, x), target=y, config=config,
+        distribution=likelihoods.LikelihoodDist.NORMAL, ensemble_size=4,
+        learning_rate=0.01, num_epochs=6, seed=jax.random.PRNGKey(0),
+        batch_size=32, mesh=mesh,
+    )
+    p_x, l_x = map_lib.ensemble_map(backend='xla', **common)
+    p_p, l_p = map_lib.ensemble_map(backend='pallas', **common)
+    l_x, l_p = np.asarray(l_x), np.asarray(l_p)
+    assert l_x.shape == (4, 6)
+    np.testing.assert_allclose(l_x[:, 0], l_p[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(l_x, l_p, rtol=1e-3, atol=1e-4)
+    for a, b in zip(p_x, p_p):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3
+      )
+
+  def test_data_sharded_minibatch_non_divisible(self):
+    """batch_size % data_shards != 0: pallas refuses with an actionable
+    message; xla falls back to the GSPMD global-permutation path."""
     config = _small_config(width=16, depth=1)
     x, y = _small_data(n=96)
     mesh = mesh_lib.default_mesh(data_devices=2)
-    with pytest.raises(ValueError, match='full-batch'):
-      map_lib.ensemble_map(
-          _aug(config, x), y, config, likelihoods.LikelihoodDist.NORMAL,
-          ensemble_size=2, learning_rate=0.01, num_epochs=2,
-          seed=jax.random.PRNGKey(0), batch_size=32, mesh=mesh,
-          backend='pallas',
-      )
+    common = dict(
+        aug_features=_aug(config, x), target=y, config=config,
+        distribution=likelihoods.LikelihoodDist.NORMAL, ensemble_size=2,
+        learning_rate=0.01, num_epochs=2, seed=jax.random.PRNGKey(0),
+        batch_size=33, mesh=mesh,
+    )
+    with pytest.raises(ValueError, match='data_shards == 0'):
+      map_lib.ensemble_map(backend='pallas', **common)
+    _, losses = map_lib.ensemble_map(backend='xla', **common)
+    assert np.all(np.isfinite(np.asarray(losses)))
 
   @pytest.mark.parametrize('dist', [
       likelihoods.LikelihoodDist.NB, likelihoods.LikelihoodDist.ZINB,
@@ -466,6 +549,39 @@ class TestPallasVIBackend:
     assert l_p.shape == (2, 6)
     np.testing.assert_allclose(l_x[:, 0], l_p[:, 0], rtol=1e-5)
     np.testing.assert_allclose(l_x, l_p, rtol=2e-3, atol=1e-3)
+
+  def test_vi_data_sharded_minibatch_matches_xla(self):
+    """Minibatch VI over a sharded data axis — the regime of EVERY VI
+    registry config. Both backends resample per step via the per-shard
+    scheme of parallel/minibatch.py; N=97 exercises the balanced layout.
+    """
+    config = _small_config(width=16, depth=1)
+    x, y = _small_data(n=97)
+    mesh = mesh_lib.default_mesh(data_devices=2)
+    common = self._common(config, x, y, batch_size=32)
+    common['mesh'] = mesh
+    common['ensemble_size'] = 4
+    s_x, l_x, _ = vi_lib.fit_vi(backend='xla', **common)
+    s_p, l_p, _ = vi_lib.fit_vi(backend='pallas', **common)
+    l_x, l_p = np.asarray(l_x), np.asarray(l_p)
+    assert l_x.shape == (4, 6)
+    np.testing.assert_allclose(l_x[:, 0], l_p[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(l_x, l_p, rtol=2e-3, atol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s_x),
+                    jax.tree_util.tree_leaves(s_p)):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3
+      )
+
+  def test_vi_data_sharded_minibatch_non_divisible(self):
+    config = _small_config(width=16, depth=1)
+    x, y = _small_data(n=96)
+    common = self._common(config, x, y, batch_size=33)
+    common['mesh'] = mesh_lib.default_mesh(data_devices=2)
+    with pytest.raises(ValueError, match='data_shards == 0'):
+      vi_lib.fit_vi(backend='pallas', **common)
+    _, losses, _ = vi_lib.fit_vi(backend='xla', **common)
+    assert np.all(np.isfinite(np.asarray(losses)))
 
   def test_vi_data_sharded_full_batch_matches_xla(self):
     """VI fused kernels on an ('ens' x 'data') mesh: NLL/grad psum."""
