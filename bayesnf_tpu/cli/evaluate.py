@@ -114,6 +114,37 @@ def run_experiment(
   runtime = time.perf_counter() - start
   losses = model.losses_
 
+  # Accuracy metrics per region (the paper's headline comparison is
+  # CRPS-based — reference README.md:24-30; its baseline harness logs
+  # RMSE/NLPD at scripts/evaluate_baseline.py:523-548, while the BNF CLI
+  # itself logged only runtime). CRPS uses the fair ensemble estimator
+  # over posterior-predictive draws from the public likelihood_model path.
+  from bayesnf_tpu import metrics as metrics_lib
+
+  filtered_all = model.data_handler.copy_and_filter_table(df_all)
+  y_all = np.asarray(model.data_handler.get_target(df_all), dtype=np.float64)
+  yhat_all = np.asarray(means).mean(
+      axis=tuple(range(np.asarray(means).ndim - 1))
+  )
+  key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
+  dist = model.likelihood_model(df_all)
+  draws = np.asarray(
+      dist.sample(jax.random.fold_in(key, 1), sample_shape=(8,))
+  ).reshape(-1, len(y_all))
+  train_index = set(model.data_handler.copy_and_filter_table(df_train).index)
+  is_train = np.asarray([i in train_index for i in filtered_all.index])
+  metrics_block = {}
+  for region, mask in (('train', is_train), ('test', ~is_train)):
+    if not np.any(mask):
+      continue
+    metrics_block[region] = {
+        'rmse': float(metrics_lib.rmse(y_all[mask], yhat_all[mask])),
+        'mae': float(metrics_lib.mae(y_all[mask], yhat_all[mask])),
+        'crps': float(
+            metrics_lib.crps_ensemble(y_all[mask], draws[:, mask], fair=True)
+        ),
+    }
+
   with open(f'{stem}.log.json', 'w') as f:
     json.dump(
         {
@@ -121,6 +152,7 @@ def run_experiment(
             'series_id': series_id,
             'runtime': runtime,
             'objective': objective,
+            'metrics': metrics_block,
             'dataset_config': dataset_config,
             'model_config': model_config,
             'inference_config': inference_config,

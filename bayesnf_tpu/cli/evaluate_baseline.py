@@ -250,16 +250,57 @@ METHODS = {
     'NF': run_nf,
 }
 
+# Python modules each method imports at run time (the heavy ones lazily).
+# Target versions are pinned in requirements-baselines.txt at the repo root.
+METHOD_DEPS = {
+    'RF': ('sklearn',),
+    'GBOOST': ('sklearn',),
+    'TSREG': ('sklearn',),
+    'SVGP': ('gpflow', 'tensorflow'),
+    'ST-SVGP': ('bayesnewton', 'objax'),
+    'MF-ST-SVGP': ('bayesnewton', 'objax'),
+    'NF': ('neuralforecast',),
+}
+
+
+def probe_methods():
+  """Per-method import probe: {'METHOD': 'OK' | 'SKIPPED (reason)'}.
+
+  Lets a user check which of the 7 baseline methods are runnable in the
+  current environment before launching anything (the heavy GP/NF deps are
+  intentionally not dependencies of this package).
+  """
+  import importlib.util
+
+  results = {}
+  for method in sorted(METHODS):
+    missing = [
+        mod for mod in METHOD_DEPS[method]
+        if importlib.util.find_spec(mod) is None
+    ]
+    if missing:
+      results[method] = (
+          f'SKIPPED (missing: {", ".join(missing)}; pip install -r '
+          'requirements-baselines.txt)'
+      )
+    else:
+      results[method] = 'OK'
+  return results
+
 
 def main(argv=None):
   parser = argparse.ArgumentParser(description=__doc__)
-  parser.add_argument('--data_root', required=True)
-  parser.add_argument('--output_dir', required=True)
   parser.add_argument(
-      '--dataset', required=True, choices=registry.runnable_datasets()
+      '--probe', action='store_true',
+      help='report which methods are runnable here (import probe) and exit',
+  )
+  parser.add_argument('--data_root')
+  parser.add_argument('--output_dir')
+  parser.add_argument(
+      '--dataset', choices=registry.runnable_datasets()
   )
   parser.add_argument(
-      '--algorithm', required=True, choices=sorted(METHODS),
+      '--algorithm', choices=sorted(METHODS),
   )
   parser.add_argument('--start_id', type=int, default=5)
   parser.add_argument('--stop_id', type=int, default=None)
@@ -273,6 +314,15 @@ def main(argv=None):
   parser.add_argument('--nf_epochs', type=int, default=5000)
   parser.add_argument('--nf_window', type=int, default=5)
   args = parser.parse_args(argv)
+
+  if args.probe:
+    results = probe_methods()
+    for method, status in results.items():
+      print(f'{method:<11} {status}')
+    return 0
+  for required in ('data_root', 'output_dir', 'dataset', 'algorithm'):
+    if getattr(args, required) is None:
+      parser.error(f'--{required} is required (unless --probe)')
 
   runner = METHODS[args.algorithm]
 

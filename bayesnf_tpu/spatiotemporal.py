@@ -121,6 +121,7 @@ class BayesianNeuralFieldEstimator:
     self.interactions = interactions
 
     self.losses_ = None
+    self.surrogate_ = None
     self.params_ = None
     self.mesh_ = None
     self.data_handler = SpatiotemporalDataHandler(
@@ -334,6 +335,16 @@ class BayesianNeuralFieldEstimator:
     }
     if self.losses_ is not None:
       arrays['losses'] = np.asarray(self.losses_)
+    surrogate = getattr(self, 'surrogate_', None)
+    if surrogate is not None:
+      # VI: persist the fitted mean-field surrogate too, so a loaded
+      # estimator can draw FRESH posterior ensembles (resample_posterior)
+      # instead of being frozen to the draws taken at fit time.
+      locs, raw_scales = surrogate
+      spec['num_surrogate_leaves'] = len(locs)
+      for i, (loc, rs) in enumerate(zip(locs, raw_scales)):
+        arrays[f'surrogate_loc_{i}'] = np.asarray(loc)
+        arrays[f'surrogate_raw_scale_{i}'] = np.asarray(rs)
     # Write through a file object: np.savez(path) would append '.npz'.
     with open(path, 'wb') as f:
       np.savez(f, spec=np.asarray(json.dumps(spec)), **arrays)
@@ -376,40 +387,38 @@ class BayesianNeuralFieldEstimator:
           data[f'param_{i}'] for i in range(spec['num_params'])
       )
       model.losses_ = data['losses'] if 'losses' in data else None
+      n_surr = spec.get('num_surrogate_leaves')
+      if n_surr:
+        model.surrogate_ = (
+            tuple(data[f'surrogate_loc_{i}'] for i in range(n_surr)),
+            tuple(data[f'surrogate_raw_scale_{i}'] for i in range(n_surr)),
+        )
     return model
 
-  def likelihood_model(self, table: pd.DataFrame):
+  def likelihood_model(self, table: pd.DataFrame, backend: str = 'auto'):
     """Predictive distribution object over the target at new points.
 
     Must be called after `fit`. Returns an
     :class:`bayesnf_tpu.models.distributions.Independent` wrapping the
     observation distribution, with per-member ensemble batch dims.
+
+    Rides the same stack as :meth:`predict`: the cached device-resident
+    parameters, the fit mesh (row-parallel over `mesh_`, multi-process
+    safe), and under `backend='auto'` the fused Pallas forward on TPU.
     """
     test_data = self.data_handler.get_test(table)
     config = self._field_config(test_data.shape)
     distribution = likelihoods.LikelihoodDist(self.observation_model)
 
-    ens_shape = np.shape(self.params_[0])[: self._ensemble_dims]
-    k = int(np.prod(ens_shape))
-    params_flat = tuple(
-        jnp.asarray(p).reshape((k,) + np.shape(p)[self._ensemble_dims :])
-        for p in self.params_
-    )
-    fp = predict_lib._forecast_params_chunked(  # pylint: disable=protected-access
+    fp = predict_lib.forecast_params_bnf(
+        test_data,
+        self.observation_model,
+        self._device_params(),
         config,
-        distribution,
-        params_flat,
-        jnp.concatenate(
-            [
-                jnp.asarray(test_data, dtype=jnp.float32),
-                field_lib.seasonal_features_for(
-                    config, jnp.asarray(test_data, dtype=jnp.float32)
-                ),
-            ],
-            axis=-1,
-        ),
+        ensemble_dims=self._ensemble_dims,
+        mesh=self.mesh_,
+        backend=backend,
     )
-    fp = tuple(f.reshape(ens_shape + f.shape[1:]) for f in fp)
 
     if distribution == likelihoods.LikelihoodDist.NORMAL:
       loc, scale = fp
@@ -613,4 +622,40 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
     )
     self.losses_ = np.asarray(losses).reshape((g, m) + losses.shape[1:])
     self.mesh_ = mesh
+    return self
+
+  def resample_posterior(self, seed, sample_size_posterior: int = 30):
+    """Rebind `params_` with FRESH draws from the fitted surrogate.
+
+    Works on loaded estimators too (`save` persists the surrogate): a
+    serving process can refresh its posterior ensemble without refitting.
+    Keeps the public `(num_devices, num_samples, ensemble, ...)` shape
+    contract; returns self.
+    """
+    if getattr(self, 'surrogate_', None) is None:
+      raise ValueError(
+          'No fitted surrogate: call fit first (or load an artifact saved '
+          'from a fitted VI estimator).'
+      )
+    from bayesnf_tpu.inference import vi as vi_lib
+
+    if isinstance(seed, int):
+      seed = jax.random.PRNGKey(seed)
+    locs = tuple(jnp.asarray(p) for p in self.surrogate_[0])
+    raw_scales = tuple(jnp.asarray(p) for p in self.surrogate_[1])
+    ensemble_size = int(locs[0].shape[0])
+    s = int(sample_size_posterior)
+    keys = jax.random.split(seed, ensemble_size)
+
+    def member_draw(loc, raw_scale, key):
+      return vi_lib._surrogate_sample(  # pylint: disable=protected-access
+          loc, vi_lib.surrogate_scales(raw_scale), key, (s,)
+      )
+
+    draws = jax.vmap(member_draw)(locs, raw_scales, keys)
+    g, m = _group_shape(ensemble_size, self.mesh_)
+    self.params_ = tuple(
+        np.asarray(p).reshape((g, m, s) + p.shape[2:]).swapaxes(1, 2)
+        for p in draws
+    )
     return self

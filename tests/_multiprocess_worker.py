@@ -88,6 +88,20 @@ def main():
       mesh=mesh,
   )
 
+  # The distribution-object path (likelihood_model's engine) over the same
+  # multi-process mesh: every process must get the full forecast-parameter
+  # host arrays back.
+  fp = predict_lib.forecast_params_bnf(
+      x,
+      'NORMAL',
+      params,
+      config,
+      ensemble_dims=1,
+      chunk_size=32,
+      mesh=mesh,
+      backend='xla',
+  )
+
   _, vi_losses, vi_draws = vi_lib.fit_vi(
       aug,
       jnp.asarray(y),
@@ -115,6 +129,8 @@ def main():
       'predict_mean_shape': list(np.shape(pred_means)),
       'predict_means': np.asarray(pred_means).ravel().tolist(),
       'predict_quantiles': [np.asarray(q).tolist() for q in pred_qs],
+      'forecast_param_shapes': [list(np.shape(f)) for f in fp],
+      'forecast_param_sums': [float(np.sum(np.asarray(f))) for f in fp],
   }
 
   if ckpt_dir is not None:

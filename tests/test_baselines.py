@@ -272,3 +272,21 @@ def test_nf_schema_with_mock(tmp_path, monkeypatch):
   assert len(pred) == n_test  # the test region
   assert np.all(pred.yhat == 7.0)
   assert np.all(pred.yhat_lower == 5.0)
+
+
+def test_probe_reports_all_methods(capsys):
+  """--probe lists every method with OK or an actionable SKIPPED reason
+  and exits 0 regardless of which heavy deps are installed."""
+  from bayesnf_tpu.cli import evaluate_baseline as eb
+
+  results = eb.probe_methods()
+  assert sorted(results) == sorted(eb.METHODS)
+  for method, status in results.items():
+    assert status == 'OK' or status.startswith('SKIPPED (missing: '), (
+        method, status)
+  # The sklearn methods are always runnable in the test environment.
+  assert results['RF'] == results['GBOOST'] == results['TSREG'] == 'OK'
+  assert eb.main(['--probe']) == 0
+  out = capsys.readouterr().out
+  for method in eb.METHODS:
+    assert method in out

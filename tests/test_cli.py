@@ -47,6 +47,12 @@ def test_run_experiment_artifacts(tmp_path, objective):
   assert log['dataset'] == 'chickenpox'
   assert log['objective'] == objective
   assert log['runtime'] > 0
+  # Accuracy block: RMSE/MAE/CRPS per region (CRPS is the paper's headline
+  # metric; the reference CLI logged only runtime).
+  for region in ('train', 'test'):
+    for metric in ('rmse', 'mae', 'crps'):
+      assert np.isfinite(log['metrics'][region][metric])
+    assert log['metrics'][region]['crps'] <= log['metrics'][region]['rmse']
 
   loss_df = pd.read_csv(f'{stem}.loss.csv')
   n_particles = _mini_inference(objective)['num_particles']
@@ -143,3 +149,49 @@ def test_selftest_cli_agrees_on_cpu(capsys, tmp_path):
   detail = json.loads(json_out.read_text())
   assert detail['ok'] and len(detail['checks']) == 13
   assert detail['args']['rows'] == 64
+
+
+class TestPrepareData:
+  """Layout verification + archive unpacking of the data-ingestion CLI
+  (the download leg needs network and is exercised only by its error
+  path contract)."""
+
+  def test_expected_files_follow_registry(self):
+    from bayesnf_tpu.cli import prepare_data
+
+    names = prepare_data.expected_files('chickenpox')
+    assert 'chickenpox.8.train.csv' in names
+    assert 'chickenpox.8.test.csv' in names
+    assert len(names) == 2 * registry.dataset_config('chickenpox')['num_series']
+
+  def test_verify_reports_missing_then_ok(self, tmp_path):
+    from bayesnf_tpu.cli import prepare_data
+
+    missing = prepare_data.verify_layout(str(tmp_path), ['chickenpox'])
+    assert set(missing) == {'chickenpox'}
+    for name in prepare_data.expected_files('chickenpox'):
+      (tmp_path / name).write_text('stub')
+    assert prepare_data.verify_layout(str(tmp_path), ['chickenpox']) == {}
+    rc = prepare_data.main(
+        ['--verify-only', '--dest', str(tmp_path), '--datasets', 'chickenpox']
+    )
+    assert rc == 0
+
+  def test_unpack_strips_single_root_dir(self, tmp_path):
+    import zipfile
+
+    from bayesnf_tpu.cli import prepare_data
+
+    archive = tmp_path / 'datasets.zip'
+    with zipfile.ZipFile(archive, 'w') as zf:
+      zf.writestr('datasets/chickenpox.8.train.csv', 'a,b\n1,2\n')
+      zf.writestr('datasets/chickenpox.8.test.csv', 'a,b\n3,4\n')
+    dest = tmp_path / 'out'
+    prepare_data.unpack(str(archive), str(dest))
+    assert (dest / 'chickenpox.8.train.csv').read_text().startswith('a,b')
+    # main() with --archive unpacks and verifies without network.
+    rc = prepare_data.main([
+        '--archive', str(archive), '--dest', str(dest),
+        '--datasets', 'chickenpox',
+    ])
+    assert rc == 1  # only series 8 present: verification lists the rest

@@ -200,6 +200,68 @@ class TestEndToEnd:
     samples = np.asarray(dist.sample(jax.random.PRNGKey(1)))
     assert samples.shape == (1, 2, 50)
 
+  def test_likelihood_model_mesh_and_backend_agree(self):
+    """likelihood_model rides the predict stack: a mesh-fit estimator
+    produces the same distribution through the row-parallel mesh path and
+    through both backends as through the meshless XLA program."""
+    from bayesnf_tpu.parallel import mesh as mesh_lib
+
+    df = self._df(50)
+    mesh = mesh_lib.default_mesh(data_devices=2)
+    m = BayesianNeuralFieldMAP(**self._kwargs())
+    m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=20,
+          mesh=mesh)
+    assert m.mesh_ is mesh
+    ref = m.likelihood_model(df, backend='xla')
+    lp_ref = np.asarray(ref.log_prob(df.y.values))
+    mean_ref = np.asarray(ref.mean())
+    for backend in ('auto', 'pallas'):
+      got = m.likelihood_model(df, backend=backend)
+      np.testing.assert_allclose(
+          np.asarray(got.log_prob(df.y.values)), lp_ref,
+          rtol=1e-4, atol=1e-4, err_msg=backend,
+      )
+      np.testing.assert_allclose(
+          np.asarray(got.mean()), mean_ref,
+          rtol=1e-4, atol=1e-5, err_msg=backend,
+      )
+
+  def test_vi_surrogate_persists_and_resamples(self, tmp_path):
+    """save/load keeps the fitted VI surrogate, so a loaded estimator can
+    draw FRESH posterior ensembles (resample_posterior) — round 2's
+    save/load froze VI models to their fit-time draws."""
+    df = self._df(60)
+    m = BayesianNeuralFieldVI(**self._kwargs())
+    m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=10,
+          sample_size_posterior=4, batch_size=30)
+    path = str(tmp_path / 'vi.bnf')
+    m.save(path)
+    m2 = BayesianNeuralFieldVI.load(path)
+    assert m2.surrogate_ is not None
+    for a, b in zip(jax.tree_util.tree_leaves(m.surrogate_),
+                    jax.tree_util.tree_leaves(m2.surrogate_)):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    old_params = m2.params_
+    m2.resample_posterior(seed=7, sample_size_posterior=5)
+    assert m2.params_[0].shape == (1, 5, 2)  # (G, S, M)
+    assert not np.array_equal(np.asarray(m2.params_[0])[:, :4],
+                              np.asarray(old_params[0]))
+    means, _ = m2.predict(df, quantiles=(0.5,))
+    assert means.shape == (1, 5, 2, 60)
+    assert np.all(np.isfinite(np.asarray(means)))
+    # Same seed -> same draws (deterministic resampling).
+    m3 = BayesianNeuralFieldVI.load(path).resample_posterior(
+        seed=7, sample_size_posterior=5
+    )
+    for a, b in zip(m2.params_, m3.params_):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # A MAP artifact has no surrogate and says so.
+    m_map = BayesianNeuralFieldMAP(**self._kwargs())
+    m_map.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=5)
+    map_path = str(tmp_path / 'map.bnf')
+    m_map.save(map_path)
+    assert BayesianNeuralFieldMAP.load(map_path).surrogate_ is None
+
   def test_save_load_roundtrip(self, tmp_path):
     df = self._df(60)
     m = BayesianNeuralFieldMAP(**self._kwargs())

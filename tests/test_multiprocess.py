@@ -143,6 +143,12 @@ def test_two_process_fit_matches_single_process(
   assert r0['predict_means'] == r1['predict_means']
   assert r0['predict_quantiles'] == r1['predict_quantiles']
 
+  # The distribution-object path (likelihood_model's engine) over the
+  # multi-process mesh: full host arrays, identical on every process.
+  assert r0['forecast_param_shapes'] == [[6, 96], [6]]  # NORMAL (loc, scale)
+  assert r0['forecast_param_sums'] == r1['forecast_param_sums']
+  assert np.all(np.isfinite(np.asarray(r0['forecast_param_sums'])))
+
   # And the numbers match a single-process run of the same seeds on an
   # identically-shaped mesh (reduction order may differ when the data
   # axis is sharded, hence allclose rather than equality).

@@ -10,7 +10,12 @@ the reference golden's train RMSE and produce calibrated intervals.
 
 Reference golden facts (precomputed): train-region RMSE 39.548, target
 std 37.753 (this tiny 100-row single-county series is prior-dominated —
-the reference underfits to roughly the mean, and so do we).
+the reference underfits to roughly the mean, and so do we), and
+train-region CRPS 21.805 for the golden's predictive distribution
+moment-matched from its committed mean and 95% interval
+(scale = (upper - lower) / (2 * 1.96), closed-form Normal CRPS) — the
+paper's headline metric (reference README.md:24-30), gated here via
+posterior samples from `likelihood_model` + `metrics.crps_ensemble`.
 """
 
 import os
@@ -21,9 +26,13 @@ import jax
 import pytest
 
 from bayesnf_tpu import BayesianNeuralFieldMAP
+from bayesnf_tpu import metrics
 
 _DATA_ROOT = os.path.join(os.path.dirname(__file__), 'test_data')
 _REFERENCE_GOLDEN_TRAIN_RMSE = 39.548
+# Derived from /root/reference/tests/test_data/bnf-map.chickenpox.8.pred.csv
+# train rows: crps_normal(y, yhat, (upper - lower) / (2 * 1.959964)).
+_REFERENCE_GOLDEN_TRAIN_CRPS = 21.805
 
 
 @pytest.mark.slow
@@ -56,3 +65,14 @@ def test_chickenpox8_matches_or_beats_reference_golden():
   _, lo, hi = (np.asarray(q) for q in quants)
   coverage = float(np.mean((y >= lo) & (y <= hi)))
   assert coverage >= 0.85, coverage
+
+  # CRPS leg — the second half of the stated success metric (RMSE/CRPS
+  # parity): posterior-predictive samples through the public
+  # likelihood_model path, fair ensemble-CRPS estimator, gated against the
+  # golden-derived bound.
+  dist = model.likelihood_model(df_train)
+  draws = np.asarray(dist.sample(jax.random.PRNGKey(7), sample_shape=(16,)))
+  crps = float(
+      metrics.crps_ensemble(y, draws.reshape(-1, len(y)), fair=True)
+  )
+  assert crps <= _REFERENCE_GOLDEN_TRAIN_CRPS + 0.5, crps
