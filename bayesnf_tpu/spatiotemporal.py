@@ -329,6 +329,10 @@ class BayesianNeuralFieldEstimator:
             'time_scale': jsonable(h.time_scale_),
         },
         'num_params': len(self.params_),
+        # The fit-time mesh topology, so a serving process with the same
+        # device count reconstructs the row-parallel placement instead of
+        # silently predicting meshless.
+        'fit_mesh': dict(self.mesh_.shape) if self.mesh_ is not None else None,
     }
     arrays = {
         f'param_{i}': np.asarray(p) for i, p in enumerate(self.params_)
@@ -393,6 +397,19 @@ class BayesianNeuralFieldEstimator:
             tuple(data[f'surrogate_loc_{i}'] for i in range(n_surr)),
             tuple(data[f'surrogate_raw_scale_{i}'] for i in range(n_surr)),
         )
+      fit_mesh = spec.get('fit_mesh')
+      if fit_mesh:
+        # Rebuild the fit-time placement when this process has the same
+        # topology; otherwise stay meshless (single-program predict) —
+        # the params_ shape contract is device-count independent.
+        from bayesnf_tpu.parallel import mesh as mesh_lib
+
+        ens = int(fit_mesh.get(mesh_lib.ENSEMBLE_AXIS, 1))
+        dat = int(fit_mesh.get(mesh_lib.DATA_AXIS, 1))
+        if ens * dat == len(jax.devices()):
+          model.mesh_ = mesh_lib.default_mesh(
+              ensemble_devices=ens, data_devices=dat
+          )
     return model
 
   def likelihood_model(self, table: pd.DataFrame, backend: str = 'auto'):

@@ -262,6 +262,25 @@ class TestEndToEnd:
     m_map.save(map_path)
     assert BayesianNeuralFieldMAP.load(map_path).surrogate_ is None
 
+  def test_save_load_restores_fit_mesh(self, tmp_path):
+    """A loaded estimator rebuilds the fit-time mesh when this process has
+    the same topology (round 2 silently predicted meshless)."""
+    from bayesnf_tpu.parallel import mesh as mesh_lib
+
+    df = self._df(64)
+    mesh = mesh_lib.default_mesh(data_devices=2)
+    m = BayesianNeuralFieldMAP(**self._kwargs())
+    m.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=5,
+          mesh=mesh)
+    path = str(tmp_path / 'mesh.bnf')
+    m.save(path)
+    m2 = BayesianNeuralFieldMAP.load(path)
+    assert m2.mesh_ is not None
+    assert dict(m2.mesh_.shape) == {'ens': 4, 'data': 2}
+    want, _ = m.predict(df, quantiles=(0.5,))
+    got, _ = m2.predict(df, quantiles=(0.5,))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
   def test_save_load_roundtrip(self, tmp_path):
     df = self._df(60)
     m = BayesianNeuralFieldMAP(**self._kwargs())

@@ -113,7 +113,7 @@ def _fit_predict(objective, observation_model, df_train, df_test):
   means, quants = model.predict(df_test, quantiles=(0.5, 0.025, 0.975))
   yhat = np.asarray(means)
   yhat = yhat.reshape(-1, yhat.shape[-1]).mean(axis=0)
-  return yhat, [np.asarray(q) for q in quants]
+  return model, yhat, [np.asarray(q) for q in quants]
 
 
 @pytest.mark.slow
@@ -123,7 +123,7 @@ def test_recovers_known_field(objective, observation_model):
   df_train, df_test = _make_series(observation_model)
   y = df_test['y'].values
   mu = df_test['true_mean'].values
-  yhat, (q50, lo, hi) = _fit_predict(
+  model, yhat, (q50, lo, hi) = _fit_predict(
       objective, observation_model, df_train, df_test
   )
 
@@ -148,6 +148,22 @@ def test_recovers_known_field(objective, observation_model):
     # Ensemble-mean point predictions agree with the median (prior-free
     # count MLE is excluded: a single exploded member wrecks the mean).
     assert np.all(np.isfinite(yhat)), (objective, observation_model)
+
+    # CRPS leg: the posterior-predictive ensemble must BEAT its own point
+    # median as a probabilistic forecast (CRPS generalizes MAE: a
+    # deterministic forecast's CRPS equals its MAE, and a forecaster with
+    # calibrated spread scores strictly better). This checks the full
+    # predictive distribution — especially valuable for VI, whose
+    # golden-file leg is necessarily loose (upstream version drift).
+    from bayesnf_tpu import metrics
+
+    dist = model.likelihood_model(df_test)
+    draws = np.asarray(
+        dist.sample(jax.random.PRNGKey(5), sample_shape=(8,))
+    ).reshape(-1, len(y))
+    crps = float(metrics.crps_ensemble(y, draws, fair=True))
+    mae_median = float(np.mean(np.abs(q50 - y)))
+    assert crps < mae_median, (objective, observation_model, crps, mae_median)
     assert np.corrcoef(q50, yhat)[0, 1] > 0.95
 
   if observation_model in ('NB', 'ZINB'):
