@@ -216,6 +216,138 @@ def init_opt_state(config, learning_rate, params):
   return jax.vmap(optax.adam(learning_rate).init)(tuple(params))
 
 
+def _make_losses_and_grads(
+    config: field_lib.FieldConfig,
+    distribution: likelihoods.LikelihoodDist,
+    lik_scale: float,
+    prior_weight: float,
+    precision: str,
+    kernel: str,
+    tile: int | None,
+    subtiles: int,
+    data_shards: int,
+):
+  """Per-step ensemble (losses, grads) function shared by the shard_map
+  factories (`_make_shardmap_train_fn`, `_make_stream_train_fn`).
+
+  Returns a function `(params_b, aug_b, y_b, n_valid=None) -> (losses,
+  grads)` where `aug_b` is either a shared (F, B) batch or per-member
+  (E, F, B) batches; losses/grads are psum'd over the 'data' axis when it
+  is sharded, and the (parameter-only) prior term is added once per member
+  after the reduction.
+  """
+  d = config.num_inputs
+  num_w = config.depth + 1
+  compute_dtype = {
+      'f32': None, 'bf16': jnp.bfloat16, 'highest': 'highest'
+  }[precision]
+
+  def xla_losses_and_grads(params_b, aug_b, y_b, n_valid=None):
+    """Autodiff twin of `fused_losses_and_grads` (same signature/shapes)."""
+
+    def member_loss(params, aug_bt, y_m):
+      pred = field_lib.apply_field_t(
+          config, params, aug_bt[:d], aug_bt[d:], compute_dtype=compute_dtype
+      )
+      w = None
+      if n_valid is not None:
+        w = (jnp.arange(aug_bt.shape[-1]) < n_valid).astype(jnp.float32)
+      return -lik_scale * likelihoods.log_likelihood(
+          distribution, params, pred, y_m, weights=w
+      )
+
+    in_axes = (0, None, None) if aug_b.ndim == 2 else (0, 0, 0)
+    losses, grads = jax.vmap(
+        jax.value_and_grad(member_loss), in_axes=in_axes
+    )(params_b, aug_b, y_b)
+    grads = list(grads)
+    if data_shards > 1:
+      losses = jax.lax.psum(losses, mesh_lib.DATA_AXIS)
+      grads = [jax.lax.psum(g, mesh_lib.DATA_AXIS) for g in grads]
+    if prior_weight != 0.0:
+      prior_losses, prior_grads = jax.vmap(
+          jax.value_and_grad(
+              lambda p: -prior_weight * priors.prior_log_prob(config, p)
+          )
+      )(params_b)
+      losses = losses + prior_losses
+      grads = [g + pg for g, pg in zip(grads, prior_grads)]
+    return losses, tuple(grads)
+
+  def fused_losses_and_grads(params_b, aug_b, y_b, n_valid=None):
+    """Losses and grads via the single-pass fused train kernel.
+
+    One Pallas program per step, any observation model: in-kernel encode
+    (octave Fourier via the double-angle recurrence, hand-derived backward)
+    + forward + likelihood + backward with activations resident in VMEM —
+    no second forward, no recompute, no XLA encode/likelihood segments, and
+    no per-member (E, F, N) h0/dh0 HBM round-trips. Only the
+    (parameter-only) prior term stays in XLA.
+    """
+    from bayesnf_tpu.ops import fused_mlp
+
+    weights = tuple(
+        params_b[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w)
+    )
+    biases = tuple(
+        params_b[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w)
+    )
+    x_b = aug_b[..., :d, :]
+    seasonal_b = aug_b[..., d:, :]
+    obs_raw = jnp.stack(
+        [
+            params_b[field_lib.IDX_LOG_NOISE_SCALE],
+            params_b[field_lib.IDX_NB_SHAPE_RAW],
+            params_b[field_lib.IDX_ZINB_LOGIT],
+        ],
+        axis=-1,
+    )
+    losses, dlsa, dfs, dws, dbs, dscales, dlogit, dobs = (
+        fused_mlp.fused_train(
+            distribution.value,
+            config.depth,
+            tile,
+            lik_scale,
+            config.input_scales,
+            config.fourier_degrees,
+            config.interactions,
+            x_b,
+            seasonal_b,
+            weights,
+            biases,
+            params_b[field_lib.IDX_LOG_SCALE_ADJ],
+            params_b[field_lib.IDX_FEATURE_SCALES],
+            params_b[field_lib.IDX_LAYER_SCALES],
+            params_b[field_lib.IDX_ACTIVATION_LOGIT],
+            obs_raw,
+            y_b,
+            precision=precision,
+            subtiles=subtiles,
+            n_valid=n_valid,
+        )
+    )
+    grads = field_lib.scatter_fused_train_grads(
+        config, dlsa, dfs, dws, dbs, dscales, dlogit, dobs
+    )
+    if data_shards > 1:
+      # Each device saw only its row shard; the loss is a sum over rows,
+      # so summing losses/grads over 'data' is exact. The prior term is
+      # added after the reduction so it counts once per member.
+      losses = jax.lax.psum(losses, mesh_lib.DATA_AXIS)
+      grads = [jax.lax.psum(g, mesh_lib.DATA_AXIS) for g in grads]
+    if prior_weight != 0.0:
+      prior_losses, prior_grads = jax.vmap(
+          jax.value_and_grad(
+              lambda p: -prior_weight * priors.prior_log_prob(config, p)
+          )
+      )(params_b)
+      losses = losses + prior_losses
+      grads = [g + pg for g, pg in zip(grads, prior_grads)]
+    return losses, tuple(grads)
+
+  return fused_losses_and_grads if kernel == 'pallas' else xla_losses_and_grads
+
+
 @functools.lru_cache(maxsize=32)
 def _make_shardmap_train_fn(
     config: field_lib.FieldConfig,
@@ -271,8 +403,6 @@ def _make_shardmap_train_fn(
 
   optimizer = optax.adam(learning_rate)
   num_batches = data_size // batch_size
-  d = config.num_inputs
-  num_w = config.depth + 1
   if kernel == 'pallas':
     from bayesnf_tpu.ops import fused_mlp
 
@@ -280,114 +410,17 @@ def _make_shardmap_train_fn(
       tile = fused_mlp.pick_tile(config.width, min(local_batch, local_rows))
   elif kernel != 'xla':
     raise ValueError(f'Unknown shard_map kernel: {kernel!r}')
-  compute_dtype = {
-      'f32': None, 'bf16': jnp.bfloat16, 'highest': 'highest'
-  }[precision]
 
-  def xla_losses_and_grads(params_b, aug_b, y_b, n_valid=None):
-    """Autodiff twin of `fused_losses_and_grads` (same signature/shapes)."""
-    lik_scale = data_size / batch_size
-
-    def member_loss(params, aug_bt, y_m):
-      pred = field_lib.apply_field_t(
-          config, params, aug_bt[:d], aug_bt[d:], compute_dtype=compute_dtype
-      )
-      w = None
-      if n_valid is not None:
-        w = (jnp.arange(aug_bt.shape[-1]) < n_valid).astype(jnp.float32)
-      return -lik_scale * likelihoods.log_likelihood(
-          distribution, params, pred, y_m, weights=w
-      )
-
-    in_axes = (0, None, None) if aug_b.ndim == 2 else (0, 0, 0)
-    losses, grads = jax.vmap(
-        jax.value_and_grad(member_loss), in_axes=in_axes
-    )(params_b, aug_b, y_b)
-    grads = list(grads)
-    if data_shards > 1:
-      losses = jax.lax.psum(losses, mesh_lib.DATA_AXIS)
-      grads = [jax.lax.psum(g, mesh_lib.DATA_AXIS) for g in grads]
-    if prior_weight != 0.0:
-      prior_losses, prior_grads = jax.vmap(
-          jax.value_and_grad(
-              lambda p: -prior_weight * priors.prior_log_prob(config, p)
-          )
-      )(params_b)
-      losses = losses + prior_losses
-      grads = [g + pg for g, pg in zip(grads, prior_grads)]
-    return losses, tuple(grads)
-
-  def fused_losses_and_grads(params_b, aug_b, y_b, n_valid=None):
-    """Losses and grads via the single-pass fused train kernel.
-
-    One Pallas program per step, any observation model: in-kernel encode
-    (octave Fourier via the double-angle recurrence, hand-derived backward)
-    + forward + likelihood + backward with activations resident in VMEM —
-    no second forward, no recompute, no XLA encode/likelihood segments, and
-    no per-member (E, F, N) h0/dh0 HBM round-trips. Only the
-    (parameter-only) prior term stays in XLA.
-    """
-    weights = tuple(
-        params_b[field_lib.IDX_FIRST_DENSE + 2 * l] for l in range(num_w)
-    )
-    biases = tuple(
-        params_b[field_lib.IDX_FIRST_DENSE + 2 * l + 1] for l in range(num_w)
-    )
-    x_b = aug_b[..., :d, :]
-    seasonal_b = aug_b[..., d:, :]
-    obs_raw = jnp.stack(
-        [
-            params_b[field_lib.IDX_LOG_NOISE_SCALE],
-            params_b[field_lib.IDX_NB_SHAPE_RAW],
-            params_b[field_lib.IDX_ZINB_LOGIT],
-        ],
-        axis=-1,
-    )
-    losses, dlsa, dfs, dws, dbs, dscales, dlogit, dobs = (
-        fused_mlp.fused_train(
-            distribution.value,
-            config.depth,
-            tile,
-            data_size / batch_size,
-            config.input_scales,
-            config.fourier_degrees,
-            config.interactions,
-            x_b,
-            seasonal_b,
-            weights,
-            biases,
-            params_b[field_lib.IDX_LOG_SCALE_ADJ],
-            params_b[field_lib.IDX_FEATURE_SCALES],
-            params_b[field_lib.IDX_LAYER_SCALES],
-            params_b[field_lib.IDX_ACTIVATION_LOGIT],
-            obs_raw,
-            y_b,
-            precision=precision,
-            subtiles=subtiles,
-            n_valid=n_valid,
-        )
-    )
-    grads = field_lib.scatter_fused_train_grads(
-        config, dlsa, dfs, dws, dbs, dscales, dlogit, dobs
-    )
-    if data_shards > 1:
-      # Each device saw only its row shard; the loss is a sum over rows,
-      # so summing losses/grads over 'data' is exact. The prior term is
-      # added after the reduction so it counts once per member.
-      losses = jax.lax.psum(losses, mesh_lib.DATA_AXIS)
-      grads = [jax.lax.psum(g, mesh_lib.DATA_AXIS) for g in grads]
-    if prior_weight != 0.0:
-      prior_losses, prior_grads = jax.vmap(
-          jax.value_and_grad(
-              lambda p: -prior_weight * priors.prior_log_prob(config, p)
-          )
-      )(params_b)
-      losses = losses + prior_losses
-      grads = [g + pg for g, pg in zip(grads, prior_grads)]
-    return losses, tuple(grads)
-
-  losses_and_grads = (
-      fused_losses_and_grads if kernel == 'pallas' else xla_losses_and_grads
+  losses_and_grads = _make_losses_and_grads(
+      config,
+      distribution,
+      lik_scale=data_size / batch_size,
+      prior_weight=prior_weight,
+      precision=precision,
+      kernel=kernel,
+      tile=tile,
+      subtiles=subtiles,
+      data_shards=data_shards,
   )
 
   def shard_train(params_b, opt_b, keys_b, aug_t, target):
@@ -481,6 +514,97 @@ def _make_shardmap_train_fn(
   return jax.jit(sharded, donate_argnums=(0, 1, 2))
 
 
+@functools.lru_cache(maxsize=32)
+def _make_stream_train_fn(
+    config: field_lib.FieldConfig,
+    distribution: likelihoods.LikelihoodDist,
+    slice_steps: int,
+    batch_size: int,
+    data_size: int,
+    learning_rate: float,
+    prior_weight: float,
+    mesh,
+    precision: str = 'f32',
+    tile: int | None = None,
+    subtiles: int = 1,
+    kernel: str = 'pallas',
+):
+  """One slice of the host-streaming training loop as a jitted program.
+
+  The program advances every ensemble member by `slice_steps` SGD steps on
+  host-assembled batches: inputs are (S, F, B) batches shared across
+  members (see `parallel/streaming.py` for the RNG scheme) with the batch
+  dimension sharded over the mesh's 'data' axis; params/optimizer state
+  shard over 'ens' and are donated, so steady-state HBM holds the model
+  state plus the slice buffers in flight — never the dataset.
+  """
+  data_shards = mesh.shape[mesh_lib.DATA_AXIS]
+  if batch_size % data_shards:
+    raise ValueError(
+        f'streaming training over a sharded data axis requires '
+        f'batch_size % data_shards == 0 (got {batch_size=}, {data_shards=}).'
+    )
+  local_batch = batch_size // data_shards
+  if kernel == 'pallas':
+    from bayesnf_tpu.ops import fused_mlp
+
+    if tile is None:
+      tile = fused_mlp.pick_tile(config.width, local_batch)
+  elif kernel != 'xla':
+    raise ValueError(f'Unknown shard_map kernel: {kernel!r}')
+
+  optimizer = optax.adam(learning_rate)
+  losses_and_grads = _make_losses_and_grads(
+      config,
+      distribution,
+      lik_scale=data_size / batch_size,
+      prior_weight=prior_weight,
+      precision=precision,
+      kernel=kernel,
+      tile=tile,
+      subtiles=subtiles,
+      data_shards=data_shards,
+  )
+
+  def shard_train_slice(params_b, opt_b, aug_s, y_s):
+    # aug_s: (S, F, local_batch), y_s: (S, local_batch) — every batch row
+    # is a real row (the host stream never pads), so no validity mask.
+    def one_step(carry, batch):
+      params_b, opt_b = carry
+      aug_b, y_b = batch
+      losses, grads = losses_and_grads(params_b, aug_b, y_b, None)
+      updates, opt_b = jax.vmap(optimizer.update)(grads, opt_b)
+      params_b = optax.apply_updates(params_b, updates)
+      return (tuple(params_b), opt_b), losses
+
+    (params_b, opt_b), losses = jax.lax.scan(
+        one_step, (params_b, opt_b), (aug_s, y_s)
+    )
+    # losses: (S, E_local) -> (E_local, S)
+    return params_b, opt_b, losses.T
+
+  num_leaves = len(field_lib.param_specs(config))
+  p_ens = jax.sharding.PartitionSpec(mesh_lib.ENSEMBLE_AXIS)
+  p_slice_t = jax.sharding.PartitionSpec(None, None, mesh_lib.DATA_AXIS)
+  p_slice = jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
+  params_spec = (p_ens,) * num_leaves
+  opt_spec = jax.tree_util.tree_map(
+      lambda _: p_ens,
+      optax.adam(learning_rate).init(
+          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config))
+      ),
+  )
+  sharded = jax.shard_map(
+      shard_train_slice,
+      mesh=mesh,
+      in_specs=(params_spec, opt_spec, p_slice_t, p_slice),
+      out_specs=(params_spec, opt_spec, p_ens),
+      # Pallas out_shapes carry no varying-mesh-axes metadata; skip the check.
+      check_vma=False,
+  )
+  return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def ensemble_map(
     aug_features: jax.Array,
     target: jax.Array,
@@ -497,6 +621,7 @@ def ensemble_map(
     checkpoint_every: int | None = None,
     precision: str = 'f32',
     backend: str = 'auto',
+    stream_chunk_steps: int | None = None,
 ) -> tuple[tuple, jax.Array]:
   """Train `ensemble_size` independent MAP/MLE members on one mesh.
 
@@ -531,6 +656,14 @@ def ensemble_map(
       batch_size % data_shards == 0), or 'auto' (pallas on TPU when the
       mesh/batch allow it, with loud fallback to xla on kernel build
       failure; xla otherwise).
+    stream_chunk_steps: when set (minibatch fits only), the dataset stays
+      in HOST memory — pass `aug_features` as a numpy array or memmap —
+      and batches are assembled on host and shipped in slices of this
+      many SGD steps, double-buffered against device compute. Device HBM
+      then holds O(slices in flight x batch rows) instead of O(N): the
+      regime for datasets larger than (aggregate) HBM. Uses one shared
+      per-epoch permutation across members, deterministic in (seed,
+      epoch) — a documented RNG deviation; see `parallel/streaming.py`.
 
   Returns:
     (params, losses): params is the flat tuple with leading member axis
@@ -545,6 +678,22 @@ def ensemble_map(
   if batch_size is None or batch_size > data_size:
     batch_size = data_size
   data_shards = mesh.shape[mesh_lib.DATA_AXIS]
+  streaming = stream_chunk_steps is not None
+  if streaming:
+    if int(stream_chunk_steps) < 1:
+      raise ValueError(f'{stream_chunk_steps=} must be a positive int.')
+    if batch_size == data_size:
+      raise ValueError(
+          'stream_chunk_steps requires minibatch training (batch_size < '
+          'len(table)): a full-batch fit re-reads the whole dataset every '
+          'step, which defeats streaming — set batch_size or drop the flag.'
+      )
+    if batch_size % data_shards:
+      raise ValueError(
+          f'streaming training over a sharded data axis requires '
+          f'batch_size % data_shards == 0 (got {batch_size=}, '
+          f'{data_shards=}): each slice batch splits evenly over shards.'
+      )
   auto_resolved = backend == 'auto'
   backend = backends.resolve_backend(
       backend,
@@ -568,20 +717,31 @@ def ensemble_map(
   opt_state = init_opt_state(config, learning_rate, params)
   member_keys = jax.random.split(opt_seed, padded)
 
-  # Features-major device layout (rows on the TPU lane dimension).
-  aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
-  target = jnp.asarray(target, dtype=jnp.float32)
+  if streaming:
+    # The dataset stays HOST-resident (numpy or memmap; np.asarray and .T
+    # are no-copy views for a float32 numpy input — a row gather on the
+    # transposed view reads contiguous source rows): no device transfer
+    # here, and no padded-row layout — streamed batches are always full.
+    aug_host_t = np.asarray(aug_features, dtype=np.float32).T
+    target_host = np.asarray(target, dtype=np.float32)
+    aug_t = target = None
+    row_pad = 0
+  else:
+    # Features-major device layout (rows on the TPU lane dimension).
+    aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
+    target = jnp.asarray(target, dtype=jnp.float32)
 
-  # An uneven data axis (N % data_devices != 0) stores rows in the
-  # balanced layout — each shard holds a valid prefix, counts differing by
-  # at most 1 (parallel/minibatch.py). Both backends exclude the padding
-  # exactly (zero weights on the GSPMD path, an in-kernel valid-row mask
-  # under shard_map), and minibatch permutations never index it.
-  row_pad = (-data_size) % data_shards
-  if row_pad:
-    aug_t, target = minibatch_lib.pad_rows_balanced(
-        aug_t, target, data_size, data_shards
-    )
+    # An uneven data axis (N % data_devices != 0) stores rows in the
+    # balanced layout — each shard holds a valid prefix, counts differing
+    # by at most 1 (parallel/minibatch.py). Both backends exclude the
+    # padding exactly (zero weights on the GSPMD path, an in-kernel
+    # valid-row mask under shard_map), and minibatch permutations never
+    # index it.
+    row_pad = (-data_size) % data_shards
+    if row_pad:
+      aug_t, target = minibatch_lib.pad_rows_balanced(
+          aug_t, target, data_size, data_shards
+      )
 
   num_epochs = int(num_epochs)
   start_epoch = 0
@@ -615,6 +775,10 @@ def ensemble_map(
             # a resume on a different extent would silently change all
             # three.
             data_shards=data_shards,
+            # Streaming uses a different (shared host-side) permutation
+            # scheme than on-device training — resuming one under the
+            # other would silently change every subsequent batch.
+            stream=streaming,
         ),
     )
     restored = checkpointer.restore_latest()
@@ -638,8 +802,9 @@ def ensemble_map(
         lambda x: dist_lib.make_global(x, ens), opt_state
     )
     member_keys = dist_lib.make_global(member_keys, ens)
-    aug_t = dist_lib.make_global(aug_t, mesh_lib.data_sharding_t(mesh))
-    target = dist_lib.make_global(target, mesh_lib.data_sharding(mesh))
+    if not streaming:  # streamed slices are globalized per transfer instead
+      aug_t = dist_lib.make_global(aug_t, mesh_lib.data_sharding_t(mesh))
+      target = dist_lib.make_global(target, mesh_lib.data_sharding(mesh))
 
   def make_train(chunk_epochs):
     if backend not in ('pallas', 'xla'):
@@ -705,6 +870,123 @@ def ensemble_map(
     from bayesnf_tpu.ops import fused_mlp
 
     return (chunk_epochs, fused_mlp.resolve_subtiles())
+
+  if streaming:
+    from bayesnf_tpu.parallel import streaming as streaming_lib
+
+    num_batches = data_size // batch_size
+    stream = streaming_lib.HostBatchStream(
+        aug_host_t, target_host, int(batch_size), opt_seed
+    )
+    aug_spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, None, mesh_lib.DATA_AXIS)
+    )
+    y_spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
+    )
+
+    def make_stream_fn(slice_steps):
+      if backend not in ('pallas', 'xla'):
+        raise ValueError(f'Unknown backend: {backend!r}')
+      if backend == 'pallas':
+        from bayesnf_tpu.ops import fused_mlp
+
+        subtiles = fused_mlp.resolve_subtiles()
+      else:
+        subtiles = 1
+      return _make_stream_train_fn(
+          config,
+          distribution,
+          slice_steps,
+          int(batch_size),
+          data_size,
+          float(learning_rate),
+          float(prior_weight),
+          mesh,
+          precision,
+          subtiles=subtiles,
+          kernel=backend,
+      )
+
+    def stream_probe_key(slice_steps):
+      from bayesnf_tpu.ops import fused_mlp
+
+      return (slice_steps, fused_mlp.resolve_subtiles())
+
+    while epoch < num_epochs:
+      chunk = (
+          num_epochs - epoch
+          if checkpointer is None
+          else min(checkpoint_every, num_epochs - epoch)
+      )
+      chunk_losses = []
+      for _, aug_np, y_np in stream.slices(
+          epoch * num_batches, chunk * num_batches, int(stream_chunk_steps)
+      ):
+        if multiproc:
+          aug_dev = dist_lib.make_global(aug_np, aug_spec)
+          y_dev = dist_lib.make_global(y_np, y_spec)
+        else:
+          aug_dev = jax.device_put(aug_np, aug_spec)
+          y_dev = jax.device_put(y_np, y_spec)
+        s = int(aug_np.shape[0])
+        if auto_resolved and backend == 'pallas':
+          # Probe: build the slice program ahead-of-time — donated
+          # buffers stay intact until a compiled program executes, so
+          # the xla retry sees unconsumed inputs (same contract as the
+          # non-streaming probe below).
+          probe_key = stream_probe_key(s)
+          try:
+            probe_fn = make_stream_fn(s).lower(
+                tuple(params), opt_state, aug_dev, y_dev
+            ).compile()
+            fn = probe_fn
+          except Exception as err:  # pylint: disable=broad-except
+            backends.warn_pallas_fallback(err)
+            backend = 'xla'
+            probe_key = None
+            fn = make_stream_fn(s)
+          auto_resolved = False
+        elif backend == 'pallas' and probe_key == stream_probe_key(s):
+          fn = probe_fn
+        else:
+          fn = make_stream_fn(s)
+        params, opt_state, losses_s = fn(
+            tuple(params), opt_state, aug_dev, y_dev
+        )
+        chunk_losses.append(losses_s)
+        # Depth-2 pipeline throttle: dispatching `fn` is asynchronous, so
+        # host assembly + device_put of slice k+1 overlap device compute
+        # of slice k; blocking on slice k-1's (tiny) losses bounds how
+        # many slice buffers can be alive in HBM at once.
+        if len(chunk_losses) > 1:
+          jax.block_until_ready(chunk_losses[-2])
+      losses_c = np.concatenate(
+          [dist_lib.host_value(l) for l in chunk_losses], axis=-1
+      )
+      # Per-epoch loss = mean over the epoch's steps (the losses_ contract).
+      losses_c = losses_c.reshape(
+          losses_c.shape[0], chunk, num_batches
+      ).mean(axis=-1)
+      loss_chunks.append(losses_c)
+      epoch += chunk
+      if checkpointer is not None:
+        from bayesnf_tpu.utils import checkpoint as ckpt_lib
+
+        checkpointer.save(
+            ckpt_lib.TrainState.from_opt_state(
+                params=jax.tree_util.tree_map(
+                    dist_lib.host_value, tuple(params)
+                ),
+                opt_state=jax.tree_util.tree_map(
+                    dist_lib.host_value, opt_state
+                ),
+                keys=dist_lib.host_value(member_keys),
+                losses=loss_chunks,
+                epoch=epoch,
+            )
+        )
+    # epoch == num_epochs here, so the non-streaming loop below is a no-op.
 
   while epoch < num_epochs:
     chunk = (
@@ -795,6 +1077,7 @@ def fit_map(
     checkpoint_every: int | None = None,
     precision: str = 'f32',
     backend: str = 'auto',
+    stream_chunk_steps: int | None = None,
 ) -> tuple[tuple, np.ndarray]:
   """Fit a MAP/MLE ensemble, optionally in sequential memory-bounded splits.
 
@@ -835,6 +1118,7 @@ def fit_map(
         checkpoint_every=checkpoint_every,
         precision=precision,
         backend=backend,
+        stream_chunk_steps=stream_chunk_steps,
     )
     params_splits.append(jax.tree_util.tree_map(np.array, params_i))
     losses_splits.append(np.array(losses_i))

@@ -363,6 +363,29 @@ def seasonal_features_for(config: FieldConfig, x: jax.Array) -> jax.Array:
   )
 
 
+def aug_features_host(
+    config: FieldConfig, x, block_rows: int = 1 << 20
+) -> np.ndarray:
+  """Host (numpy) `[x | seasonal features]`, assembled in bounded blocks.
+
+  The streaming trainers keep the dataset in host RAM, so the augmented
+  matrix must never exist as one device array; seasonal features are
+  computed `block_rows` rows at a time on the default device (exactly the
+  math of `seasonal_features_for`) and written into a host buffer.
+  """
+  x = np.asarray(x, dtype=np.float32)
+  n, d = x.shape
+  f2 = 2 * len(tuple(np.asarray(config.seasonal_frequencies).reshape(-1)))
+  out = np.empty((n, d + f2), dtype=np.float32)
+  out[:, :d] = x
+  for lo in range(0, n, block_rows):
+    blk = x[lo : lo + block_rows]
+    out[lo : lo + block_rows, d:] = np.asarray(
+        seasonal_features_for(config, jnp.asarray(blk))
+    )
+  return out
+
+
 # ---------------------------------------------------------------------------
 # Transposed (features-major) formulation: the training hot path on TPU.
 #

@@ -470,6 +470,7 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
       checkpoint_every=None,
       precision='f32',
       backend='auto',
+      stream_chunk_steps=None,
   ) -> BayesianNeuralFieldEstimator:
     """Run stochastic ensemble MAP (or MLE) inference.
 
@@ -491,6 +492,12 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
       backend: 'auto' (default: fused Pallas kernels on TPU when the
         mesh data axis is 1, with loud fallback to 'xla' if the kernel
         program fails to build; 'xla' otherwise), 'xla', or 'pallas'.
+      stream_chunk_steps: when set (requires batch_size < len(table)),
+        the training set stays in HOST memory and minibatches stream to
+        the mesh in slices of this many SGD steps, double-buffered —
+        the regime for datasets larger than device memory. Uses one
+        shared per-epoch batch permutation across ensemble members (a
+        documented RNG deviation; see `parallel/streaming.py`).
 
     Returns:
       self.
@@ -508,9 +515,14 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
       num_epochs = num_epochs * (train_data.shape[0] // batch_size)
     config = self._field_config((batch_size, train_data.shape[-1]))
 
-    train_data = jnp.asarray(train_data, dtype=jnp.float32)
-    seasonal = field_lib.seasonal_features_for(config, train_data)
-    aug = jnp.concatenate([train_data, seasonal], axis=-1)
+    if stream_chunk_steps is not None:
+      # Host-resident assembly: the augmented matrix never exists on the
+      # device (seasonal features are computed in bounded device blocks).
+      aug = field_lib.aug_features_host(config, train_data)
+    else:
+      train_data = jnp.asarray(train_data, dtype=jnp.float32)
+      seasonal = field_lib.seasonal_features_for(config, train_data)
+      aug = jnp.concatenate([train_data, seasonal], axis=-1)
 
     params, losses = map_lib.fit_map(
         aug,
@@ -529,6 +541,7 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
         checkpoint_every=checkpoint_every,
         precision=precision,
         backend=backend,
+        stream_chunk_steps=stream_chunk_steps,
     )
     g, m = _group_shape(ensemble_size, mesh)
     self.params_ = tuple(p.reshape((g, m) + p.shape[1:]) for p in params)

@@ -1,0 +1,214 @@
+"""Host-streaming minibatch pipeline tests.
+
+The streaming regime (`stream_chunk_steps`) keeps the dataset in host RAM
+and ships batches in slices of S steps (`parallel/streaming.py`). Its
+invariants, each tested here:
+
+- slice-size invariance: the slice size is pure transfer granularity —
+  results are BIT-identical for any `stream_chunk_steps`.
+- backend agreement: the same host batch sequence drives both shard_map
+  kernels ('xla' and 'pallas').
+- shard-count invariance: a streamed batch splits over the 'data' axis
+  and losses/grads psum — shard count only reassociates the sums.
+- deterministic replay: epoch permutations derive from (seed, epoch), so
+  checkpoint resume reproduces the uninterrupted run bit-for-bit without
+  storing stream state.
+"""
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayesnf_tpu.inference import map as map_lib
+from bayesnf_tpu.models import field as field_lib
+from bayesnf_tpu.models import likelihoods
+from bayesnf_tpu.parallel import mesh as mesh_lib
+from bayesnf_tpu.parallel import streaming as streaming_lib
+from bayesnf_tpu.spatiotemporal import BayesianNeuralFieldMAP
+
+
+def _setup(n=50):
+  config = field_lib.FieldConfig.create(
+      width=8, depth=1, input_scales=[30.0, 1.0], fourier_degrees=[2, 2],
+      interactions=[], seasonality_periods=[8.0], num_seasonal_harmonics=[2],
+  )
+  rng = np.random.default_rng(1)
+  x = np.stack(
+      [np.arange(n, dtype=np.float32), rng.normal(size=n).astype(np.float32)],
+      -1,
+  )
+  y = (x[:, 1] + np.sin(x[:, 0] / 5)).astype(np.float32)
+  aug = field_lib.aug_features_host(config, x)
+  return config, aug, y
+
+
+def _run(config, aug, y, **kwargs):
+  kwargs.setdefault('backend', 'xla')
+  return map_lib.ensemble_map(
+      aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+      ensemble_size=3, learning_rate=0.01, num_epochs=4,
+      seed=jax.random.PRNGKey(0), batch_size=10, **kwargs,
+  )
+
+
+class TestHostBatchStream:
+
+  def test_each_epoch_is_a_permutation(self):
+    _, aug, y = _setup(n=23)
+    stream = streaming_lib.HostBatchStream(
+        aug.T, y, batch_size=5, seed=jax.random.PRNGKey(3)
+    )
+    # 4 batches/epoch (ragged tail of 3 rows dropped).
+    for epoch in range(2):
+      rows = [stream._batch_rows(epoch * 4 + b) for b in range(4)]
+      flat = np.concatenate(rows)
+      assert len(np.unique(flat)) == 20  # no repeats within an epoch
+    # Different epochs draw different permutations...
+    e0 = np.concatenate([stream._batch_rows(b) for b in range(4)])
+    e1 = np.concatenate([stream._batch_rows(4 + b) for b in range(4)])
+    assert not np.array_equal(e0, e1)
+    # ...but replay is deterministic (resume contract): a fresh stream at
+    # the same seed reproduces any step's batch, in any order.
+    replay = streaming_lib.HostBatchStream(
+        aug.T, y, batch_size=5, seed=jax.random.PRNGKey(3)
+    )
+    for step in (7, 0, 5, 3):
+      np.testing.assert_array_equal(
+          replay._batch_rows(step), stream._batch_rows(step)
+      )
+
+  def test_slices_tile_the_step_range(self):
+    _, aug, y = _setup(n=20)
+    stream = streaming_lib.HostBatchStream(
+        aug.T, y, batch_size=5, seed=jax.random.PRNGKey(0)
+    )
+    seen = []
+    for step, aug_s, y_s in stream.slices(2, 9, 4):
+      assert aug_s.shape[1:] == (aug.shape[1], 5)
+      assert aug_s.shape[0] == y_s.shape[0]
+      seen.extend(range(step, step + aug_s.shape[0]))
+    assert seen == list(range(2, 11))
+
+
+class TestStreamingTrainer:
+
+  def test_slice_size_is_bit_invariant(self):
+    config, aug, y = _setup()
+    mesh = mesh_lib.default_mesh(jax.devices()[:4], data_devices=2)
+    p1, l1 = _run(config, aug, y, mesh=mesh, stream_chunk_steps=3)
+    p2, l2 = _run(config, aug, y, mesh=mesh, stream_chunk_steps=20)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    for a, b in zip(p1, p2):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_pallas_kernel_agrees_with_xla(self):
+    config, aug, y = _setup()
+    mesh = mesh_lib.default_mesh(jax.devices()[:4], data_devices=2)
+    p_x, _ = _run(config, aug, y, mesh=mesh, stream_chunk_steps=3)
+    p_p, _ = _run(
+        config, aug, y, mesh=mesh, stream_chunk_steps=3, backend='pallas'
+    )
+    for a, b in zip(p_x, p_p):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+      )
+
+  def test_data_shard_count_only_reassociates(self):
+    config, aug, y = _setup()
+    mesh1 = mesh_lib.default_mesh(jax.devices()[:4], data_devices=1)
+    mesh2 = mesh_lib.default_mesh(jax.devices()[:4], data_devices=2)
+    p1, _ = _run(config, aug, y, mesh=mesh1, stream_chunk_steps=3)
+    p2, _ = _run(config, aug, y, mesh=mesh2, stream_chunk_steps=3)
+    for a, b in zip(p1, p2):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+      )
+
+  def test_checkpoint_resume_is_bit_exact(self, tmp_path):
+    config, aug, y = _setup()
+    p_ref, l_ref = _run(config, aug, y, stream_chunk_steps=3)
+    ckdir = str(tmp_path / 'ck')
+    # Interrupted run: 2 of 4 epochs, then resume to 4.
+    map_lib.ensemble_map(
+        aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=3, learning_rate=0.01, num_epochs=2,
+        seed=jax.random.PRNGKey(0), batch_size=10, backend='xla',
+        stream_chunk_steps=3, checkpoint_dir=ckdir, checkpoint_every=2,
+    )
+    p_res, l_res = _run(
+        config, aug, y, stream_chunk_steps=3,
+        checkpoint_dir=ckdir, checkpoint_every=2,
+    )
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_res))
+    for a, b in zip(p_ref, p_res):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_streaming_checkpoint_refuses_on_device_resume(self, tmp_path):
+    # The stream's shared host permutation differs from the on-device
+    # per-member scheme; resuming across the two would silently change
+    # every subsequent batch, so the fingerprint must refuse.
+    config, aug, y = _setup()
+    ckdir = str(tmp_path / 'ck')
+    map_lib.ensemble_map(
+        aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=3, learning_rate=0.01, num_epochs=2,
+        seed=jax.random.PRNGKey(0), batch_size=10, backend='xla',
+        stream_chunk_steps=3, checkpoint_dir=ckdir, checkpoint_every=2,
+    )
+    with pytest.raises(ValueError, match='different configuration'):
+      map_lib.ensemble_map(
+          aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+          ensemble_size=3, learning_rate=0.01, num_epochs=4,
+          seed=jax.random.PRNGKey(0), batch_size=10, backend='xla',
+          checkpoint_dir=ckdir, checkpoint_every=2,
+      )
+
+  def test_full_batch_stream_raises(self):
+    config, aug, y = _setup()
+    with pytest.raises(ValueError, match='minibatch'):
+      map_lib.ensemble_map(
+          aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+          ensemble_size=3, learning_rate=0.01, num_epochs=4,
+          seed=jax.random.PRNGKey(0), batch_size=None, backend='xla',
+          stream_chunk_steps=3,
+      )
+
+  def test_indivisible_sharded_batch_raises(self):
+    config, aug, y = _setup()
+    mesh = mesh_lib.default_mesh(jax.devices()[:4], data_devices=2)
+    with pytest.raises(ValueError, match='data_shards'):
+      map_lib.ensemble_map(
+          aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+          ensemble_size=3, learning_rate=0.01, num_epochs=4,
+          seed=jax.random.PRNGKey(0), batch_size=7, mesh=mesh,
+          backend='xla', stream_chunk_steps=3,
+      )
+
+
+class TestEstimatorStreaming:
+
+  def test_fit_predict_and_learning(self):
+    n = 100
+    rng = np.random.default_rng(0)
+    t = np.arange(n, dtype=float) % 40
+    lat = rng.normal(size=n)
+    y = np.sin(2 * np.pi * t / 8) * 4 + lat + 0.1 * rng.normal(size=n)
+    df = pd.DataFrame({'time': t, 'lat': lat, 'y': y})
+    m = BayesianNeuralFieldMAP(
+        width=8, depth=1, seasonality_periods=[8.0],
+        feature_cols=['time', 'lat'], target_col='y',
+        observation_model='NORMAL', timetype='float', standardize=['lat'],
+    )
+    m.fit(
+        df, seed=jax.random.PRNGKey(0), ensemble_size=8, num_epochs=120,
+        learning_rate=0.02, batch_size=25, backend='xla',
+        stream_chunk_steps=8,
+    )
+    assert m.losses_.shape == (8, 1, 120)
+    assert np.mean(m.losses_[..., -10:]) < np.mean(m.losses_[..., :10])
+    means, quants = m.predict(df, quantiles=(0.5,))
+    yhat = np.asarray(means).mean((0, 1))
+    rmse = np.sqrt(np.mean((yhat - df.y.values) ** 2))
+    assert rmse < 0.8 * df.y.std()
