@@ -188,70 +188,33 @@ def init_vi_opt_state(learning_rate, surrogate):
   return jax.vmap(optax.adam(learning_rate).init)(surrogate)
 
 
-@functools.lru_cache(maxsize=32)
-def _make_shardmap_vi_fn(
+def _make_elbo_losses(
     config: field_lib.FieldConfig,
     distribution: likelihoods.LikelihoodDist,
-    num_steps: int,
-    batch_size: int,
-    data_size: int,
-    learning_rate: float,
+    lik_scale: float,
     sample_size: int,
-    kl_weight: float,
-    mesh,
-    precision: str = 'f32',
-    tile: int | None = None,
-    subtiles: int = 1,
-    kernel: str = 'pallas',
+    precision: str,
+    kernel: str,
+    tile: int | None,
+    subtiles: int,
+    data_shards: int,
 ):
-  """Ensemble-VI step under explicit `jax.shard_map` over the mesh.
+  """Per-step ensemble negative-ELBO function shared by the shard_map VI
+  factories (`_make_shardmap_vi_fn`, `_make_stream_vi_fn`).
 
-  `kernel='pallas'`: the ELBO's MC-sample axis is folded into the fused
-  train kernel's *member* axis — each reparametrized draw carries its own
-  sampled weights, so the local ensemble presents (E_local * sample_size)
-  independent parameter sets to one `fused_train` invocation (any
-  observation model), and each member's minibatch feeds all of its draws
-  through the kernel's index maps (no S-fold HBM copy). `kernel='xla'`
-  substitutes a vmapped autodiff NLL with identical RNG structure — the
-  XLA twin for sharded-minibatch agreement testing. Per-member RNG (step
-  key splits, draw sampling, minibatch permutation) matches `_make_vi_fn`
-  exactly on an unsharded data axis, so backends agree up to matmul
-  reassociation.
-
-  A data axis > 1 is supported for BOTH regimes (see
-  `inference/map.py:_make_shardmap_train_fn` — full batch psums the NLL
-  and its gradients over 'data'; minibatch uses the per-shard local
-  permutation of `parallel/minibatch.py`, resampled every step, and
-  requires batch_size % data_shards == 0).
+  Returns `elbo_losses(surrogate, sample_keys, aug_bt, y_b, n_valid=None)
+  -> (E_local,)` per-member negative ELBO (mean over MC draws), where
+  `aug_bt` is a shared (F, B) batch or per-member (E, F, B) batches.
+  kernel='pallas' returns fully data-reduced losses (the custom-VJP NLL
+  psums inside); kernel='xla' returns LOCAL losses with the replicated
+  terms (log q, prior) pre-scaled by 1/data_shards so the caller's psum
+  over 'data' counts them exactly once.
   """
-  data_shards = mesh.shape[mesh_lib.DATA_AXIS]
-  full_batch = batch_size == data_size
-  if data_shards != 1 and not full_batch and batch_size % data_shards:
-    raise ValueError(
-        f'minibatch VI over a sharded data axis requires '
-        f'batch_size % data_shards == 0 (got {batch_size=}, '
-        f'{data_shards=}): each shard contributes batch_size/data_shards '
-        "rows per step. Adjust batch_size or use backend='xla' (global-"
-        'permutation fallback).'
-    )
-  local_rows, _ = minibatch_lib.shard_counts(data_size, data_shards)
-  row_pad = local_rows * data_shards - data_size
-  local_batch = batch_size // data_shards if data_shards > 1 else batch_size
-
-  optimizer = optax.adam(learning_rate)
   d = config.num_inputs
   num_w = config.depth + 1
-  lik_scale = (data_size / batch_size) / kl_weight
   compute_dtype = {
       'f32': None, 'bf16': jnp.bfloat16, 'highest': 'highest'
   }[precision]
-  if kernel == 'pallas':
-    from bayesnf_tpu.ops import fused_mlp
-
-    if tile is None:
-      tile = fused_mlp.pick_tile(config.width, min(local_batch, local_rows))
-  elif kernel != 'xla':
-    raise ValueError(f'Unknown shard_map kernel: {kernel!r}')
 
   def make_kernel_nll(aug_bt, y_b, n_valid=None):
     """lik_scale * -loglik as a custom-VJP op over the fused train kernel.
@@ -263,6 +226,8 @@ def _make_shardmap_vi_fn(
     autodiff compose the rest of the ELBO — the reparametrized sampling,
     log q, and prior — around it untouched.
     """
+    from bayesnf_tpu.ops import fused_mlp
+
     x_b = aug_bt[..., :d, :]
     seasonal_b = aug_bt[..., d:, :]
 
@@ -360,14 +325,7 @@ def _make_shardmap_vi_fn(
     return nll.reshape(-1)  # (E_local * S,), draw-minor like z_f
 
   def elbo_losses(surrogate, sample_keys, aug_bt, y_b, n_valid=None):
-    """(E_local,) per-member negative ELBO (mean over MC draws).
-
-    kernel='pallas' returns fully data-reduced losses (the custom-VJP NLL
-    psums inside). kernel='xla' returns LOCAL losses with the replicated
-    terms (log q, prior) pre-scaled by 1/data_shards, so that the caller's
-    psum over 'data' counts them exactly once — this keeps the whole ELBO
-    inside one `value_and_grad` with a plain post-hoc psum of the grads.
-    """
+    """(E_local,) per-member negative ELBO (mean over MC draws)."""
     locs, raw_scales = surrogate
     scales = surrogate_scales(raw_scales)
     # Per-member draws, exactly as the XLA path's per-member
@@ -383,7 +341,8 @@ def _make_shardmap_vi_fn(
       # (E_local * S)-member kernel directly: `fused_train`'s index maps
       # serve each member's one stored batch to all S of its draws — no
       # S-fold HBM materialization (the kernel member m reads batch group
-      # m // S, matching the draw-major z_f reshape above).
+      # m // S, matching the draw-major z_f reshape above). A shared
+      # (F, B) batch feeds every kernel member, as in full batch.
       nll = make_kernel_nll(aug_bt, y_b, n_valid)(z_f)  # (ES,) reduced
       rs = 1.0
     else:
@@ -396,6 +355,80 @@ def _make_shardmap_vi_fn(
         in_axes=(0, 0, 0),
     )(locs, scales, z)  # (E_local, S)
     return (rs * logq - target).mean(axis=1)
+
+  return elbo_losses
+
+
+@functools.lru_cache(maxsize=32)
+def _make_shardmap_vi_fn(
+    config: field_lib.FieldConfig,
+    distribution: likelihoods.LikelihoodDist,
+    num_steps: int,
+    batch_size: int,
+    data_size: int,
+    learning_rate: float,
+    sample_size: int,
+    kl_weight: float,
+    mesh,
+    precision: str = 'f32',
+    tile: int | None = None,
+    subtiles: int = 1,
+    kernel: str = 'pallas',
+):
+  """Ensemble-VI step under explicit `jax.shard_map` over the mesh.
+
+  `kernel='pallas'`: the ELBO's MC-sample axis is folded into the fused
+  train kernel's *member* axis — each reparametrized draw carries its own
+  sampled weights, so the local ensemble presents (E_local * sample_size)
+  independent parameter sets to one `fused_train` invocation (any
+  observation model), and each member's minibatch feeds all of its draws
+  through the kernel's index maps (no S-fold HBM copy). `kernel='xla'`
+  substitutes a vmapped autodiff NLL with identical RNG structure — the
+  XLA twin for sharded-minibatch agreement testing. Per-member RNG (step
+  key splits, draw sampling, minibatch permutation) matches `_make_vi_fn`
+  exactly on an unsharded data axis, so backends agree up to matmul
+  reassociation.
+
+  A data axis > 1 is supported for BOTH regimes (see
+  `inference/map.py:_make_shardmap_train_fn` — full batch psums the NLL
+  and its gradients over 'data'; minibatch uses the per-shard local
+  permutation of `parallel/minibatch.py`, resampled every step, and
+  requires batch_size % data_shards == 0).
+  """
+  data_shards = mesh.shape[mesh_lib.DATA_AXIS]
+  full_batch = batch_size == data_size
+  if data_shards != 1 and not full_batch and batch_size % data_shards:
+    raise ValueError(
+        f'minibatch VI over a sharded data axis requires '
+        f'batch_size % data_shards == 0 (got {batch_size=}, '
+        f'{data_shards=}): each shard contributes batch_size/data_shards '
+        "rows per step. Adjust batch_size or use backend='xla' (global-"
+        'permutation fallback).'
+    )
+  local_rows, _ = minibatch_lib.shard_counts(data_size, data_shards)
+  row_pad = local_rows * data_shards - data_size
+  local_batch = batch_size // data_shards if data_shards > 1 else batch_size
+
+  optimizer = optax.adam(learning_rate)
+  if kernel == 'pallas':
+    from bayesnf_tpu.ops import fused_mlp
+
+    if tile is None:
+      tile = fused_mlp.pick_tile(config.width, min(local_batch, local_rows))
+  elif kernel != 'xla':
+    raise ValueError(f'Unknown shard_map kernel: {kernel!r}')
+
+  elbo_losses = _make_elbo_losses(
+      config,
+      distribution,
+      lik_scale=(data_size / batch_size) / kl_weight,
+      sample_size=sample_size,
+      precision=precision,
+      kernel=kernel,
+      tile=tile,
+      subtiles=subtiles,
+      data_shards=data_shards,
+  )
 
   def shard_fit(surrogate, opt_state, keys, aug_t, target):
     if row_pad and full_batch:
@@ -477,6 +510,113 @@ def _make_shardmap_vi_fn(
 
 
 @functools.lru_cache(maxsize=32)
+def _make_stream_vi_fn(
+    config: field_lib.FieldConfig,
+    distribution: likelihoods.LikelihoodDist,
+    slice_steps: int,
+    batch_size: int,
+    data_size: int,
+    learning_rate: float,
+    sample_size: int,
+    kl_weight: float,
+    mesh,
+    precision: str = 'f32',
+    tile: int | None = None,
+    subtiles: int = 1,
+    kernel: str = 'pallas',
+):
+  """One slice of the host-streaming VI loop as a jitted program.
+
+  Advances every surrogate by `slice_steps` ELBO steps on host-assembled
+  batches: (S, F, B) inputs shared across members AND across each
+  member's MC draws (the kernel/vmap broadcast a shared batch exactly as
+  in full-batch training), batch rows sharded over 'data'. Device RNG is
+  only used for the reparametrized draws — the minibatch sequence comes
+  from the host stream (`parallel/streaming.py`, per-step resample).
+  """
+  data_shards = mesh.shape[mesh_lib.DATA_AXIS]
+  if batch_size % data_shards:
+    raise ValueError(
+        f'streaming VI over a sharded data axis requires '
+        f'batch_size % data_shards == 0 (got {batch_size=}, {data_shards=}).'
+    )
+  local_batch = batch_size // data_shards
+  if kernel == 'pallas':
+    from bayesnf_tpu.ops import fused_mlp
+
+    if tile is None:
+      tile = fused_mlp.pick_tile(config.width, local_batch)
+  elif kernel != 'xla':
+    raise ValueError(f'Unknown shard_map kernel: {kernel!r}')
+
+  optimizer = optax.adam(learning_rate)
+  elbo_losses = _make_elbo_losses(
+      config,
+      distribution,
+      lik_scale=(data_size / batch_size) / kl_weight,
+      sample_size=sample_size,
+      precision=precision,
+      kernel=kernel,
+      tile=tile,
+      subtiles=subtiles,
+      data_shards=data_shards,
+  )
+
+  def shard_fit_slice(surrogate, opt_state, keys, aug_s, y_s):
+    def one_step(carry, batch):
+      surrogate, opt_state, keys = carry
+      aug_bt, y_b = batch
+      # Two-way split (no batch keys — the host stream owns batching).
+      split = jax.vmap(functools.partial(jax.random.split, num=2))(keys)
+      keys, sample_keys = split[:, 0], split[:, 1]
+
+      def total(surrogate):
+        losses = elbo_losses(surrogate, sample_keys, aug_bt, y_b, None)
+        return losses.sum(), losses
+
+      (_, losses), grads = jax.value_and_grad(total, has_aux=True)(surrogate)
+      if kernel == 'xla' and data_shards > 1:
+        # elbo_losses returned shard-local values (replicated terms
+        # pre-scaled by 1/data_shards): reduce to the full ELBO here.
+        losses = jax.lax.psum(losses, mesh_lib.DATA_AXIS)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, mesh_lib.DATA_AXIS), grads
+        )
+      updates, opt_state = jax.vmap(optimizer.update)(grads, opt_state)
+      surrogate = optax.apply_updates(surrogate, updates)
+      return (surrogate, opt_state, keys), losses
+
+    (surrogate, opt_state, keys), losses = jax.lax.scan(
+        one_step, (surrogate, opt_state, keys), (aug_s, y_s)
+    )
+    # (S, E_local) -> (E_local, S), x kl_weight as in the reference's
+    # returned history (inference.py:755-758).
+    return surrogate, opt_state, keys, losses.T * kl_weight
+
+  num_leaves = len(field_lib.param_specs(config))
+  p_ens = jax.sharding.PartitionSpec(mesh_lib.ENSEMBLE_AXIS)
+  p_slice_t = jax.sharding.PartitionSpec(None, None, mesh_lib.DATA_AXIS)
+  p_slice = jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
+  params_spec = (p_ens,) * num_leaves
+  surr_spec = (params_spec, params_spec)
+  opt_spec = jax.tree_util.tree_map(
+      lambda _: p_ens,
+      optimizer.init((
+          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
+          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
+      )),
+  )
+  sharded = jax.shard_map(
+      shard_fit_slice,
+      mesh=mesh,
+      in_specs=(surr_spec, opt_spec, p_ens, p_slice_t, p_slice),
+      out_specs=(surr_spec, opt_spec, p_ens, p_ens),
+      check_vma=False,
+  )
+  return jax.jit(sharded, donate_argnums=(0, 1, 2))
+
+
+@functools.lru_cache(maxsize=32)
 def _make_vi_draw_fn(config: field_lib.FieldConfig, num_samples: int, mesh):
   """Jitted posterior-draw program: (surrogate, keys) -> param draws."""
 
@@ -515,6 +655,7 @@ def fit_vi(
     checkpoint_every: int | None = None,
     precision: str = 'f32',
     backend: str = 'auto',
+    stream_chunk_steps: int | None = None,
 ):
   """Fit an ensemble of mean-field surrogate posteriors.
 
@@ -548,6 +689,13 @@ def fit_vi(
       twin; requires batch_size % data_shards == 0), or 'auto' (pallas on
       TPU when the mesh/batch allow it, with loud fallback to xla on
       kernel build failure; xla otherwise).
+    stream_chunk_steps: when set (minibatch fits only), the dataset stays
+      in HOST memory — pass `aug_features` as numpy/memmap — and batches
+      stream to the mesh in slices of this many steps, double-buffered
+      (datasets larger than HBM). Batches are drawn per step (fresh
+      permutation prefix, the reference's VI semantics) but SHARED across
+      members, deterministically in (seed, step) — a documented RNG
+      deviation; see `parallel/streaming.py`.
 
   Returns:
     (surrogate, losses, draws):
@@ -564,6 +712,22 @@ def fit_vi(
   if batch_size is None or batch_size > data_size:
     batch_size = data_size
   data_shards = mesh.shape[mesh_lib.DATA_AXIS]
+  streaming = stream_chunk_steps is not None
+  if streaming:
+    if int(stream_chunk_steps) < 1:
+      raise ValueError(f'{stream_chunk_steps=} must be a positive int.')
+    if batch_size == data_size:
+      raise ValueError(
+          'stream_chunk_steps requires minibatch VI (batch_size < '
+          'len(table)): a full-batch fit re-reads the whole dataset every '
+          'step, which defeats streaming — set batch_size or drop the flag.'
+      )
+    if batch_size % data_shards:
+      raise ValueError(
+          f'streaming VI over a sharded data axis requires '
+          f'batch_size % data_shards == 0 (got {batch_size=}, '
+          f'{data_shards=}): each slice batch splits evenly over shards.'
+      )
   auto_resolved = backend == 'auto'
   backend = backends.resolve_backend(
       backend,
@@ -581,16 +745,24 @@ def fit_vi(
   opt_state = init_vi_opt_state(learning_rate, surrogate)
   member_keys = jax.random.split(opt_seed, padded)
 
-  aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
-  target = jnp.asarray(target, dtype=jnp.float32)
+  if streaming:
+    # Host-resident dataset (no-copy views for float32 numpy input); no
+    # device transfer, no padded-row layout — streamed batches are full.
+    aug_host_t = np.asarray(aug_features, dtype=np.float32).T
+    target_host = np.asarray(target, dtype=np.float32)
+    aug_t = target = None
+    row_pad = 0
+  else:
+    aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
+    target = jnp.asarray(target, dtype=jnp.float32)
 
-  # Uneven data axis: balanced stored-row layout (each shard a valid
-  # prefix); both backends exclude the padding exactly (see ensemble_map).
-  row_pad = (-data_size) % data_shards
-  if row_pad:
-    aug_t, target = minibatch_lib.pad_rows_balanced(
-        aug_t, target, data_size, data_shards
-    )
+    # Uneven data axis: balanced stored-row layout (each shard a valid
+    # prefix); both backends exclude the padding exactly (see ensemble_map).
+    row_pad = (-data_size) % data_shards
+    if row_pad:
+      aug_t, target = minibatch_lib.pad_rows_balanced(
+          aug_t, target, data_size, data_shards
+      )
 
   num_steps = int(num_epochs)
   start_step = 0
@@ -620,6 +792,9 @@ def fit_vi(
             # Data-axis extent fixes row layout, psum grouping, and the
             # sharded-minibatch RNG scheme (see inference/map.py).
             data_shards=data_shards,
+            # Streaming uses the shared host-side batch scheme — resuming
+            # one scheme under the other would silently change batches.
+            stream=streaming,
         ),
     )
     restored = checkpointer.restore_latest()
@@ -649,8 +824,9 @@ def fit_vi(
         lambda x: dist_lib.make_global(x, ens), opt_state
     )
     member_keys = dist_lib.make_global(member_keys, ens)
-    aug_t = dist_lib.make_global(aug_t, mesh_lib.data_sharding_t(mesh))
-    target = dist_lib.make_global(target, mesh_lib.data_sharding(mesh))
+    if not streaming:  # streamed slices are globalized per transfer instead
+      aug_t = dist_lib.make_global(aug_t, mesh_lib.data_sharding_t(mesh))
+      target = dist_lib.make_global(target, mesh_lib.data_sharding(mesh))
 
   def make_fit(chunk_steps):
     if backend not in ('pallas', 'xla'):
@@ -711,6 +887,116 @@ def fit_vi(
     from bayesnf_tpu.ops import fused_mlp
 
     return (chunk_steps, fused_mlp.resolve_subtiles())
+
+  if streaming:
+    from bayesnf_tpu.parallel import streaming as streaming_lib
+
+    stream = streaming_lib.HostBatchStream(
+        aug_host_t, target_host, int(batch_size), opt_seed,
+        per_step_resample=True,
+    )
+    aug_spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, None, mesh_lib.DATA_AXIS)
+    )
+    y_spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
+    )
+
+    def make_stream_fn(slice_steps):
+      if backend not in ('pallas', 'xla'):
+        raise ValueError(f'Unknown backend: {backend!r}')
+      if backend == 'pallas':
+        from bayesnf_tpu.ops import fused_mlp
+
+        subtiles = fused_mlp.resolve_subtiles()
+      else:
+        subtiles = 1
+      return _make_stream_vi_fn(
+          config,
+          distribution,
+          slice_steps,
+          int(batch_size),
+          data_size,
+          float(learning_rate),
+          int(sample_size_divergence),
+          float(kl_weight),
+          mesh,
+          precision,
+          subtiles=subtiles,
+          kernel=backend,
+      )
+
+    while step < num_steps:
+      chunk = (
+          num_steps - step
+          if checkpointer is None
+          else min(checkpoint_every, num_steps - step)
+      )
+      chunk_losses = []
+      for _, aug_np, y_np in stream.slices(
+          step, chunk, int(stream_chunk_steps)
+      ):
+        if multiproc:
+          aug_dev = dist_lib.make_global(aug_np, aug_spec)
+          y_dev = dist_lib.make_global(y_np, y_spec)
+        else:
+          aug_dev = jax.device_put(aug_np, aug_spec)
+          y_dev = jax.device_put(y_np, y_spec)
+        s = int(aug_np.shape[0])
+        if auto_resolved and backend == 'pallas':
+          # AOT build probe with intact donated inputs (see the
+          # non-streaming probe below for the contract).
+          probe_key = (s, pallas_probe_key(0)[1])
+          try:
+            probe_fn = make_stream_fn(s).lower(
+                surrogate, opt_state, member_keys, aug_dev, y_dev
+            ).compile()
+            fit_fn = probe_fn
+          except Exception as err:  # pylint: disable=broad-except
+            backends.warn_pallas_fallback(err)
+            backend = 'xla'
+            probe_key = None
+            fit_fn = make_stream_fn(s)
+          auto_resolved = False
+        elif backend == 'pallas' and probe_key == (
+            s, pallas_probe_key(0)[1]
+        ):
+          fit_fn = probe_fn
+        else:
+          fit_fn = make_stream_fn(s)
+        surrogate, opt_state, member_keys, losses_s = fit_fn(
+            surrogate, opt_state, member_keys, aug_dev, y_dev
+        )
+        chunk_losses.append(losses_s)
+        # Depth-2 pipeline throttle (see inference/map.py streaming loop).
+        if len(chunk_losses) > 1:
+          jax.block_until_ready(chunk_losses[-2])
+      # VI history is per-step (no epoch averaging), as in the resident
+      # path.
+      loss_chunks.append(
+          np.concatenate(
+              [dist_lib.host_value(l) for l in chunk_losses], axis=-1
+          )
+      )
+      step += chunk
+      if checkpointer is not None:
+        from bayesnf_tpu.utils import checkpoint as ckpt_lib
+
+        checkpointer.save(
+            ckpt_lib.TrainState.from_opt_state(
+                params=jax.tree_util.tree_map(
+                    dist_lib.host_value,
+                    tuple(surrogate[0]) + tuple(surrogate[1]),
+                ),
+                opt_state=jax.tree_util.tree_map(
+                    dist_lib.host_value, opt_state
+                ),
+                keys=dist_lib.host_value(member_keys),
+                losses=loss_chunks,
+                epoch=step,
+            )
+        )
+    # step == num_steps here, so the non-streaming loop below is a no-op.
 
   while step < num_steps:
     chunk = (

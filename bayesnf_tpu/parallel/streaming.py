@@ -66,9 +66,21 @@ class HostBatchStream:
       dropped, matching the on-device trainers (reference
       `inference.py:583-597` semantics).
     seed: the fit's PRNG key; only host-side entropy is derived from it.
+    per_step_resample: False (default, MAP/MLE semantics) partitions each
+      epoch's permutation into `N // B` batches; True (VI semantics,
+      reference `inference.py:704-709`) draws a FRESH permutation prefix
+      every step — each step is its own "epoch" of the derivation, so
+      resume replay still holds.
   """
 
-  def __init__(self, aug_t, target, batch_size: int, seed: jax.Array):
+  def __init__(
+      self,
+      aug_t,
+      target,
+      batch_size: int,
+      seed: jax.Array,
+      per_step_resample: bool = False,
+  ):
     self.aug_t = aug_t
     self.target = target
     self.batch_size = int(batch_size)
@@ -79,12 +91,17 @@ class HostBatchStream:
           f'batch_size {batch_size} exceeds the dataset ({self.data_size}'
           ' rows).'
       )
+    self.per_step_resample = bool(per_step_resample)
     self._entropy = stream_entropy(seed)
     self._perm_epoch = -1
     self._perm = None
 
   def _batch_rows(self, step: int) -> np.ndarray:
     """Row indices of global SGD step `step` (0-based, spans epochs)."""
+    if self.per_step_resample:
+      return epoch_permutation(self._entropy, step, self.data_size)[
+          : self.batch_size
+      ]
     epoch, b = divmod(step, self.num_batches)
     if epoch != self._perm_epoch:
       self._perm = epoch_permutation(self._entropy, epoch, self.data_size)

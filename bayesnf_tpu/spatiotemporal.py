@@ -578,6 +578,7 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
       checkpoint_every=None,
       precision='f32',
       backend='auto',
+      stream_chunk_steps=None,
   ) -> BayesianNeuralFieldEstimator:
     """Run stochastic ensemble variational inference.
 
@@ -602,6 +603,12 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
       backend: 'auto' (default: fused Pallas kernels on TPU when the
         mesh data axis is 1, with loud fallback to 'xla' if the kernel
         program fails to build; 'xla' otherwise), 'xla', or 'pallas'.
+      stream_chunk_steps: when set (requires batch_size < len(table)),
+        the training set stays in HOST memory and minibatches stream to
+        the mesh in slices of this many steps, double-buffered — the
+        regime for datasets larger than device memory. Batches are drawn
+        per step (reference VI semantics) but shared across members (a
+        documented RNG deviation; see `parallel/streaming.py`).
 
     Returns:
       self.
@@ -619,9 +626,13 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
       num_epochs = num_epochs * (train_data.shape[0] // batch_size)
     config = self._field_config((batch_size, train_data.shape[-1]))
 
-    train_data = jnp.asarray(train_data, dtype=jnp.float32)
-    seasonal = field_lib.seasonal_features_for(config, train_data)
-    aug = jnp.concatenate([train_data, seasonal], axis=-1)
+    if stream_chunk_steps is not None:
+      # Host-resident assembly (see BayesianNeuralFieldMAP.fit).
+      aug = field_lib.aug_features_host(config, train_data)
+    else:
+      train_data = jnp.asarray(train_data, dtype=jnp.float32)
+      seasonal = field_lib.seasonal_features_for(config, train_data)
+      aug = jnp.concatenate([train_data, seasonal], axis=-1)
 
     surrogate, losses, draws = vi_lib.fit_vi(
         aug,
@@ -641,6 +652,7 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
         checkpoint_every=checkpoint_every,
         precision=precision,
         backend=backend,
+        stream_chunk_steps=stream_chunk_steps,
     )
     self.surrogate_ = jax.tree_util.tree_map(np.array, surrogate)
     g, m = _group_shape(ensemble_size, mesh)

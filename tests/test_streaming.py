@@ -187,6 +187,89 @@ class TestStreamingTrainer:
       )
 
 
+class TestVIStreaming:
+
+  def _run_vi(self, config, aug, y, **kwargs):
+    from bayesnf_tpu.inference import vi as vi_lib
+
+    kwargs.setdefault('backend', 'xla')
+    kwargs.setdefault('num_epochs', 6)
+    kwargs.setdefault('batch_size', 10)
+    return vi_lib.fit_vi(
+        aug, y, jax.random.PRNGKey(0), 'NORMAL', config,
+        ensemble_size=3, learning_rate=0.01,
+        sample_size_divergence=2, sample_size_posterior=2, **kwargs,
+    )
+
+  def test_slice_size_is_bit_invariant(self):
+    config, aug, y = _setup(n=40)
+    mesh = mesh_lib.default_mesh(jax.devices()[:4], data_devices=2)
+    s1, l1, _ = self._run_vi(config, aug, y, mesh=mesh, stream_chunk_steps=2)
+    s2, l2, _ = self._run_vi(config, aug, y, mesh=mesh, stream_chunk_steps=6)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    for a, b in zip(s1[0] + s1[1], s2[0] + s2[1]):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_pallas_kernel_agrees_with_xla(self):
+    config, aug, y = _setup(n=40)
+    mesh = mesh_lib.default_mesh(jax.devices()[:4], data_devices=2)
+    s_x, _, _ = self._run_vi(config, aug, y, mesh=mesh, stream_chunk_steps=2)
+    s_p, _, _ = self._run_vi(
+        config, aug, y, mesh=mesh, stream_chunk_steps=2, backend='pallas'
+    )
+    for a, b in zip(s_x[0] + s_x[1], s_p[0] + s_p[1]):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5
+      )
+
+  def test_checkpoint_resume_is_bit_exact(self, tmp_path):
+    config, aug, y = _setup(n=40)
+    s_ref, l_ref, _ = self._run_vi(config, aug, y, stream_chunk_steps=2)
+    ckdir = str(tmp_path / 'ck')
+    self._run_vi(
+        config, aug, y, num_epochs=4, stream_chunk_steps=2,
+        checkpoint_dir=ckdir, checkpoint_every=2,
+    )
+    s_res, l_res, _ = self._run_vi(
+        config, aug, y, stream_chunk_steps=2,
+        checkpoint_dir=ckdir, checkpoint_every=2,
+    )
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_res))
+    for a, b in zip(s_ref[0] + s_ref[1], s_res[0] + s_res[1]):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_full_batch_stream_raises(self):
+    config, aug, y = _setup(n=40)
+    with pytest.raises(ValueError, match='minibatch'):
+      self._run_vi(config, aug, y, batch_size=None, stream_chunk_steps=2)
+
+  def test_estimator_fit_smoke(self):
+    from bayesnf_tpu.spatiotemporal import BayesianNeuralFieldVI
+
+    n = 60
+    rng = np.random.default_rng(0)
+    t = np.arange(n, dtype=float) % 40
+    lat = rng.normal(size=n)
+    y = np.sin(2 * np.pi * t / 8) * 4 + lat + 0.1 * rng.normal(size=n)
+    df = pd.DataFrame({'time': t, 'lat': lat, 'y': y})
+    m = BayesianNeuralFieldVI(
+        width=8, depth=1, seasonality_periods=[8.0],
+        feature_cols=['time', 'lat'], target_col='y',
+        observation_model='NORMAL', timetype='float', standardize=['lat'],
+    )
+    m.fit(
+        df, seed=jax.random.PRNGKey(0), ensemble_size=2, num_epochs=2,
+        batch_size=15, sample_size_divergence=2, sample_size_posterior=3,
+        backend='xla', stream_chunk_steps=3,
+    )
+    # _scale_epochs_by_batch_size: steps = 2 * (60 // 15) = 8.
+    assert m.losses_.shape[-1] == 8
+    assert int(np.prod(m.losses_.shape[:-1])) == 2
+    assert np.isfinite(np.asarray(m.losses_)).all()
+    means, _ = m.predict(df, quantiles=(0.5,))
+    assert np.isfinite(np.asarray(means)).all()
+
+
 class TestEstimatorStreaming:
 
   def test_fit_predict_and_learning(self):
