@@ -11,12 +11,26 @@ import sys
 
 # Force CPU even if the environment points at a TPU (e.g. JAX_PLATFORMS=axon):
 # the test suite is designed around a deterministic 8-device virtual mesh.
-os.environ['JAX_PLATFORMS'] = 'cpu'
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-  os.environ['XLA_FLAGS'] = (
-      flags + ' --xla_force_host_platform_device_count=8'
-  ).strip()
+# Exception: BNF_TEST_PLATFORM=tpu keeps the attached TPU so the Pallas
+# tests exercise the Mosaic-COMPILED kernels instead of the interpreter
+# (fewer devices — mesh-shape tests will skip/shrink; used for the
+# per-round on-device evidence sweep, see PARITY.md). In TPU mode the
+# default matmul precision is pinned to 'highest': the numeric-oracle
+# tests compare a kernel against an XLA reference at CPU-exact f32
+# tolerances, and on TPU the default f32 dot feeds the MXU bf16 operands
+# with accumulation orders that differ between Mosaic and XLA — pinning
+# 'highest' makes both sides compute exact f32 so the same tolerances
+# hold (the bf16 fast path has its own explicitly-tolerated tests).
+_TEST_PLATFORM = os.environ.get('BNF_TEST_PLATFORM', 'cpu')
+if _TEST_PLATFORM == 'cpu':
+  os.environ['JAX_PLATFORMS'] = 'cpu'
+  flags = os.environ.get('XLA_FLAGS', '')
+  if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8'
+    ).strip()
+else:
+  os.environ.setdefault('JAX_DEFAULT_MATMUL_PRECISION', 'highest')
 
 # Persist compiled programs across suite runs: the suite is
 # compile-dominated (hundreds of distinct programs, >1 s each), and the
@@ -35,7 +49,10 @@ if 'JAX_COMPILATION_CACHE_DIR' not in os.environ:
 if 'jax' in sys.modules:
   import jax
 
-  jax.config.update('jax_platforms', 'cpu')
+  if _TEST_PLATFORM == 'cpu':
+    jax.config.update('jax_platforms', 'cpu')
+  else:
+    jax.config.update('jax_default_matmul_precision', 'highest')
 
 import pytest
 
