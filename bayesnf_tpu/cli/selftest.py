@@ -215,6 +215,52 @@ def main(argv=None):
       vi_losses['pallas'], vi_losses['xla'], args.rtol, checks,
   )
 
+  # Streaming: host-resident dataset shipped to the device in step slices.
+  # Two on-device contracts: (a) backend agreement on a streamed minibatch
+  # fit; (b) slice-size bit-invariance — the slice size is pure transfer
+  # granularity and must not change the math (tests/test_streaming.py
+  # proves this on the CPU interpreter; this is the compiled-device leg).
+  aug_host = np.asarray(aug)
+  stream_batch = max(32, args.rows // 4)
+  stream_losses = {}
+  for train_backend in ('xla', 'pallas'):
+    _, losses = map_lib.fit_map(
+        aug_host, y_normal,
+        seed=jax.random.PRNGKey(7),
+        observation_model='NORMAL',
+        config=config,
+        num_particles=args.ensemble,
+        learning_rate=0.005,
+        num_epochs=args.epochs,
+        batch_size=stream_batch,
+        backend=train_backend,
+        stream_chunk_steps=2,
+    )
+    stream_losses[train_backend] = losses
+  _loss_agreement(
+      'stream/NORMAL final losses',
+      stream_losses['pallas'][:, -1], stream_losses['xla'][:, -1],
+      args.rtol, checks,
+  )
+  _, losses_s3 = map_lib.fit_map(
+      aug_host, y_normal,
+      seed=jax.random.PRNGKey(7),
+      observation_model='NORMAL',
+      config=config,
+      num_particles=args.ensemble,
+      learning_rate=0.005,
+      num_epochs=args.epochs,
+      batch_size=stream_batch,
+      backend='pallas',
+      stream_chunk_steps=3,
+  )
+  bit_ok = bool(np.array_equal(stream_losses['pallas'], losses_s3))
+  checks.append({'check': 'stream/NORMAL slice bit-invariance',
+                 'bitwise_equal': bit_ok, 'ok': bit_ok})
+  print(f'{"PASS" if bit_ok else "FAIL"} stream/NORMAL slice '
+        f'bit-invariance: chunk_steps 2 vs 3 '
+        f'{"bitwise equal" if bit_ok else "DIFFER"}')
+
   ok = all(c['ok'] for c in checks)
   summary = {
       'backend': backend,

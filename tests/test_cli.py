@@ -145,9 +145,9 @@ def test_selftest_cli_agrees_on_cpu(capsys, tmp_path):
   summary = json.loads(out.strip().splitlines()[-1])
   assert rc == 0, out
   assert summary['ok'] and summary['failed'] == []
-  assert summary['num_checks'] == 13
+  assert summary['num_checks'] == 15
   detail = json.loads(json_out.read_text())
-  assert detail['ok'] and len(detail['checks']) == 13
+  assert detail['ok'] and len(detail['checks']) == 15
   assert detail['args']['rows'] == 64
 
 
