@@ -107,8 +107,15 @@ def _mm(a, b, compute_dtype):
         preferred_element_type=jnp.float32,
     )
   if compute_dtype is not None and b.shape[-1] > 1:
-    a = a.astype(compute_dtype)
-    b = b.astype(compute_dtype)
+    # Explicit bf16 mode means ONE-pass bf16 MXU operands: pin DEFAULT so
+    # an ambient jax_default_matmul_precision='highest' (e.g. the compiled
+    # test sweep) cannot request multi-pass emulation on bf16 inputs,
+    # which Mosaic's compiler rejects.
+    return jnp.dot(
+        a.astype(compute_dtype), b.astype(compute_dtype),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
   return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
@@ -467,8 +474,12 @@ def _mm_t(a, b, contract, compute_dtype):
   (b_c,) = contract[1]
   b_free = b.shape[1 - b_c]
   if compute_dtype is not None and b_free > 1:
-    a = a.astype(compute_dtype)
-    b = b.astype(compute_dtype)
+    # One-pass bf16 MXU operands by definition: pin DEFAULT (see _mm).
+    return jax.lax.dot_general(
+        a.astype(compute_dtype), b.astype(compute_dtype),
+        (contract, ((), ())), precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
   return jax.lax.dot_general(
       a, b, (contract, ((), ())), preferred_element_type=jnp.float32
   )

@@ -4,6 +4,7 @@ Runs in Pallas interpreter mode on CPU; the same kernels compile on TPU.
 """
 
 import math
+import os
 
 import numpy as np
 import jax
@@ -11,6 +12,24 @@ import jax.numpy as jnp
 import pytest
 
 from bayesnf_tpu.ops import fused_mlp
+
+# Row tile for kernels that place rows in the LAST block dimension
+# (features-major forward, fused_train): Mosaic's compiled lowering
+# requires that dimension be divisible by 128 (or equal the padded row
+# count), a constraint the interpreter does not enforce. 32 keeps the
+# default CPU-interpreter runs small and fast; the compiled sweep
+# (BNF_TEST_PLATFORM=tpu, see tests/conftest.py) uses 128 so the SAME
+# tests exercise the Mosaic-compiled kernels. Row-major kernels keep
+# literal 32 (rows sit in the second-to-last dim, divisible-by-8 rule).
+TILE = 32 if os.environ.get('BNF_TEST_PLATFORM', 'cpu') == 'cpu' else 128
+
+# Tolerance scale for the compiled sweep: Mosaic's and XLA:TPU's
+# transcendental approximations (tanh/exp/sin in encode + activation +
+# likelihood) differ in the last ulps and the backward pass amplifies the
+# difference on small scalar gradients (observed worst-case ~9e-4 relative
+# vs the 2e-4 interpreter bound). Interpreter runs share libm with the
+# oracle and keep the tight bounds.
+TOL_SCALE = 1 if TILE == 32 else 8
 
 
 def _reference_mlp(depth, h0, weights, biases, scales_raw, logit):
@@ -143,7 +162,7 @@ class TestTransposedKernels:
         depth, 32, 'f32', h0, weights, biases, scales_raw, logit
     )
     b = fused_mlp.fused_field_mlp_t(
-        depth, 32, 'f32', (jnp.swapaxes(h0, 1, 2),), weights, biases,
+        depth, TILE, 'f32', (jnp.swapaxes(h0, 1, 2),), weights, biases,
         scales_raw, logit
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
@@ -163,7 +182,7 @@ class TestTransposedKernels:
       # per-group gradient outputs.
       groups = (h0_t[:, :5, :], h0_t[:, 5:, :])
       pred = fused_mlp.fused_field_mlp_t(
-          depth, 32, 'f32', groups, weights, biases, scales_raw, logit
+          depth, TILE, 'f32', groups, weights, biases, scales_raw, logit
       )
       return jnp.sum(jnp.square(pred - y) * jnp.linspace(0.5, 1.5, 64))
 
@@ -283,7 +302,7 @@ class TestFusedTrain:
         axis=-1,
     )
     losses, dlsa, dfs, dws, dbs, dscales, dlogit, dobs = fused_mlp.fused_train(
-        distribution, config.depth, 32, lik_scale, config.input_scales,
+        distribution, config.depth, TILE, lik_scale, config.input_scales,
         config.fourier_degrees, config.interactions, x_t, seas,
         weights, biases,
         params[field_lib.IDX_LOG_SCALE_ADJ],
@@ -331,10 +350,13 @@ class TestFusedTrain:
 
     # Count-model losses include the Stirling-vs-lgamma difference
     # (~3e-4 relative worst-case, see ops/special).
-    loss_rtol = 2e-4 if distribution == 'NORMAL' else 1e-3
+    loss_rtol = (2e-4 if distribution == 'NORMAL' else 1e-3) * TOL_SCALE
     np.testing.assert_allclose(
         np.asarray(losses), np.asarray(want_losses), rtol=loss_rtol)
-    grad_tol = (2e-4, 2e-5) if distribution == 'NORMAL' else (2e-3, 2e-4)
+    grad_tol = tuple(
+        t * TOL_SCALE
+        for t in ((2e-4, 2e-5) if distribution == 'NORMAL' else (2e-3, 2e-4))
+    )
     for name, (got, idx) in pairs.items():
       want = np.asarray(want_grads[idx])
       if name in self._UNUSED_OBS[distribution]:
@@ -406,8 +428,10 @@ class TestFusedTrain:
   def test_subtiles_match_autodiff(self, distribution):
     """The VPU/MXU-overlap subtile split changes scheduling, not results.
 
-    subtiles=2 on a 32-row tile with n=70 also exercises the fully-masked
-    subtile (last tile holds 6 valid rows; its second subtile holds none).
+    At the interpreter tile (32) with n=70 this also exercises the
+    fully-masked subtile (the last tile holds 6 valid rows; its second
+    subtile holds none); at the compiled-sweep tile (128) the second
+    subtile is partially masked instead.
     """
     config, params, x_t, seas, y, likelihoods = self._setup(
         distribution=distribution)
@@ -416,10 +440,13 @@ class TestFusedTrain:
         distribution, config, params, x_t, seas, y, lik_scale, subtiles=2)
     want_losses, want_grads = self._oracle(
         distribution, config, params, x_t, seas, y, likelihoods, lik_scale)
-    loss_rtol = 2e-4 if distribution == 'NORMAL' else 1e-3
+    loss_rtol = (2e-4 if distribution == 'NORMAL' else 1e-3) * TOL_SCALE
     np.testing.assert_allclose(
         np.asarray(losses), np.asarray(want_losses), rtol=loss_rtol)
-    grad_tol = (2e-4, 2e-5) if distribution == 'NORMAL' else (2e-3, 2e-4)
+    grad_tol = tuple(
+        t * TOL_SCALE
+        for t in ((2e-4, 2e-5) if distribution == 'NORMAL' else (2e-3, 2e-4))
+    )
     for name, (got, idx) in pairs.items():
       if name in self._UNUSED_OBS[distribution]:
         continue
@@ -546,10 +573,13 @@ class TestFusedTrain:
     want_losses, want_grads = self._oracle(
         distribution, config, params, x_t, seas, y, likelihoods, lik_scale)
 
-    loss_rtol = 2e-4 if distribution == 'NORMAL' else 1e-3
+    loss_rtol = (2e-4 if distribution == 'NORMAL' else 1e-3) * TOL_SCALE
     np.testing.assert_allclose(
         np.asarray(losses), np.asarray(want_losses), rtol=loss_rtol)
-    grad_tol = (5e-4, 5e-5) if distribution == 'NORMAL' else (2e-3, 5e-4)
+    grad_tol = tuple(
+        t * TOL_SCALE
+        for t in ((5e-4, 5e-5) if distribution == 'NORMAL' else (2e-3, 5e-4))
+    )
     for name, (got, idx) in pairs.items():
       want = np.asarray(want_grads[idx])
       if name in self._UNUSED_OBS[distribution]:
@@ -569,7 +599,7 @@ class TestFusedTrain:
     want_losses, _ = self._oracle(
         'NORMAL', config, params, x_t, seas, y, likelihoods, 1.0)
     np.testing.assert_allclose(
-        np.asarray(losses), np.asarray(want_losses), rtol=2e-4)
+        np.asarray(losses), np.asarray(want_losses), rtol=2e-4 * TOL_SCALE)
 
 
 def test_resolve_subtiles_env(monkeypatch):
