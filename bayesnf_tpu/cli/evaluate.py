@@ -121,18 +121,24 @@ def run_experiment(
   # over posterior-predictive draws from the public likelihood_model path.
   from bayesnf_tpu import metrics as metrics_lib
 
-  filtered_all = model.data_handler.copy_and_filter_table(df_all)
-  y_all = np.asarray(model.data_handler.get_target(df_all), dtype=np.float64)
+  # `means`/`draws` cover every row of df_all (prediction keeps NaN-target
+  # rows); metrics restrict POSITIONALLY to the valid-target rows. The
+  # train/test split is positional too — concat preserves row order, and
+  # train/test CSVs routinely reuse index labels, so index-set membership
+  # would mislabel test rows.
+  target_col = dataset_config['target_col']
+  valid = df_all[target_col].notna().to_numpy()
+  y_all = df_all.loc[valid, target_col].to_numpy(dtype=np.float64)
   yhat_all = np.asarray(means).mean(
       axis=tuple(range(np.asarray(means).ndim - 1))
-  )
+  )[valid]
   key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
   dist = model.likelihood_model(df_all)
   draws = np.asarray(
       dist.sample(jax.random.fold_in(key, 1), sample_shape=(8,))
-  ).reshape(-1, len(y_all))
-  train_index = set(model.data_handler.copy_and_filter_table(df_train).index)
-  is_train = np.asarray([i in train_index for i in filtered_all.index])
+  ).reshape(-1, len(valid))[:, valid]
+  n_train_valid = int(df_train[target_col].notna().sum())
+  is_train = np.arange(len(y_all)) < n_train_valid
   metrics_block = {}
   for region, mask in (('train', is_train), ('test', ~is_train)):
     if not np.any(mask):
@@ -165,7 +171,11 @@ def run_experiment(
   loss_df = pd.DataFrame(np.reshape(losses, (-1, losses.shape[-1])).T)
   loss_df.to_csv(f'{stem}.loss.csv', index=False)
 
-  pred_index = model.data_handler.copy_and_filter_table(df_all).index
+  # Predictions cover EVERY row of df_all (NaN-target rows are legitimate
+  # grid points), so the artifact indexes all of them. Identical to the
+  # reference's filtered index on its NaN-free experiment CSVs
+  # (scripts/evaluate.py:137-150), but robust when targets are missing.
+  pred_index = df_all.index
   means = np.asarray(means)
   pred_df = pd.DataFrame(
       {

@@ -78,11 +78,20 @@ def unpack(archive: str, dest: str) -> None:
     names = [n for n in zf.namelist() if not n.endswith('/')]
     roots = {n.split('/', 1)[0] for n in names if '/' in n}
     strip = len(names) > 0 and all('/' in n for n in names) and len(roots) == 1
+    dest_root = os.path.realpath(dest)
     for name in names:
       rel = name.split('/', 1)[1] if strip else name
-      if not rel or rel.startswith(('/', '..')):
+      # Zip-slip guard: reject absolute entries and any '..' path
+      # component (a mid-path '..' escapes dest just as a leading one
+      # does), then double-check the resolved path stays under dest.
+      parts = rel.replace('\\', '/').split('/')
+      if not rel or rel.startswith('/') or '..' in parts:
         continue
       out = os.path.join(dest, rel)
+      if os.path.commonpath(
+          [dest_root, os.path.realpath(out)]
+      ) != dest_root:
+        continue
       os.makedirs(os.path.dirname(out) or dest, exist_ok=True)
       with zf.open(name) as src, open(out, 'wb') as dst:
         dst.write(src.read())

@@ -221,7 +221,9 @@ def main(argv=None):
   # granularity and must not change the math (tests/test_streaming.py
   # proves this on the CPU interpreter; this is the compiled-device leg).
   aug_host = np.asarray(aug)
-  stream_batch = max(32, args.rows // 4)
+  # Streaming requires a true minibatch (batch < rows); cap at rows // 2 so
+  # small --rows invocations stay legal instead of crashing the self-test.
+  stream_batch = max(1, min(max(32, args.rows // 4), args.rows // 2))
   stream_losses = {}
   for train_backend in ('xla', 'pallas'):
     _, losses = map_lib.fit_map(

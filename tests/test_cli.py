@@ -93,6 +93,51 @@ def test_run_experiment_data_devices(tmp_path):
   assert np.all(np.isfinite(loss_df.values))
 
 
+def test_run_experiment_nan_targets_overlapping_index(tmp_path):
+  """Metrics/artifacts survive NaN-target rows and train/test index overlap.
+
+  Predictions cover every df_all row while metrics drop NaN targets, so
+  the alignment must be positional: this fixture injects NaN targets into
+  both splits AND resets both CSVs to overlapping RangeIndexes (real
+  exports routinely reuse index labels), which an index-set train/test
+  split would mislabel.
+  """
+  train = pd.read_csv(
+      os.path.join(_DATA_ROOT, 'chickenpox.8.train.csv'), index_col=0
+  ).head(40)
+  test = pd.read_csv(
+      os.path.join(_DATA_ROOT, 'chickenpox.8.test.csv'), index_col=0
+  ).head(30)
+  train = train.reset_index(drop=True)
+  test = test.reset_index(drop=True)  # indexes 0..29 now collide with train
+  train.loc[[3, 17], 'chickenpox'] = np.nan
+  test.loc[[0, 21], 'chickenpox'] = np.nan
+  data_root = tmp_path / 'data'
+  data_root.mkdir()
+  train.to_csv(data_root / 'chickenpox.nan.train.csv')
+  test.to_csv(data_root / 'chickenpox.nan.test.csv')
+
+  evaluate.run_experiment(
+      dataset='chickenpox',
+      data_root=str(data_root),
+      series_id='nan',
+      output_dir=str(tmp_path),
+      objective='map',
+      seed=jax.random.PRNGKey(0),
+      model_config=_mini_model('map'),
+      inference_config=_mini_inference('map'),
+  )
+  stem = str(tmp_path / 'bnf-map.chickenpox.nan')
+  log = json.loads(open(f'{stem}.log.json').read())
+  for region, n_valid in (('train', 38), ('test', 28)):
+    for metric in ('rmse', 'mae', 'crps'):
+      assert np.isfinite(log['metrics'][region][metric])
+  # Predictions still cover every row, including the NaN-target ones.
+  pred_df = pd.read_csv(f'{stem}.pred.csv', index_col=0)
+  assert len(pred_df) == 70
+  assert np.all(np.isfinite(pred_df.values))
+
+
 def test_registry_covers_reference_suite():
   assert sorted(registry.REGISTRY) == [
       'M3Month', 'air', 'air_quality', 'chickenpox', 'coprecip', 'sst', 'wind'
@@ -195,3 +240,22 @@ class TestPrepareData:
         '--datasets', 'chickenpox',
     ])
     assert rc == 1  # only series 8 present: verification lists the rest
+
+  def test_unpack_rejects_zip_slip_entries(self, tmp_path):
+    import zipfile
+
+    from bayesnf_tpu.cli import prepare_data
+
+    archive = tmp_path / 'evil.zip'
+    with zipfile.ZipFile(archive, 'w') as zf:
+      zf.writestr('ok.csv', 'a,b\n1,2\n')
+      zf.writestr('../escape-lead.txt', 'x')
+      zf.writestr('sub/../../escape-mid.txt', 'x')  # '..' mid-path
+      zf.writestr('/abs.txt', 'x')
+    dest = tmp_path / 'out'
+    prepare_data.unpack(str(archive), str(dest))
+    assert (dest / 'ok.csv').exists()
+    assert not (tmp_path / 'escape-lead.txt').exists()
+    assert not (tmp_path / 'escape-mid.txt').exists()
+    written = {p.name for p in dest.rglob('*') if p.is_file()}
+    assert written == {'ok.csv'}

@@ -79,6 +79,29 @@ class TestHostBatchStream:
           replay._batch_rows(step), stream._batch_rows(step)
       )
 
+  def test_per_step_resample_is_cheap_and_deterministic(self):
+    _, aug, y = _setup(n=23)
+    stream = streaming_lib.HostBatchStream(
+        aug.T, y, batch_size=5, seed=jax.random.PRNGKey(3),
+        per_step_resample=True,
+    )
+    for step in (0, 1, 9):
+      rows = stream._batch_rows(step)
+      assert len(np.unique(rows)) == 5  # without replacement
+      np.testing.assert_array_equal(
+          rows,
+          streaming_lib.step_sample(stream._entropy, step, 23, 5),
+      )
+    assert not np.array_equal(stream._batch_rows(0), stream._batch_rows(1))
+    # O(batch) per step, not O(N): a huge virtual dataset must not stall
+    # batch assembly (a full permutation at this size takes ~10 s).
+    import time
+
+    t0 = time.perf_counter()
+    big = streaming_lib.step_sample(stream._entropy, 0, 10**8, 4096)
+    assert time.perf_counter() - t0 < 1.0
+    assert len(np.unique(big)) == 4096
+
   def test_slices_tile_the_step_range(self):
     _, aug, y = _setup(n=20)
     stream = streaming_lib.HostBatchStream(
