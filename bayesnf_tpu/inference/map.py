@@ -878,17 +878,11 @@ def ensemble_map(
     stream = streaming_lib.HostBatchStream(
         aug_host_t, target_host, int(batch_size), opt_seed
     )
-    aug_spec = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, None, mesh_lib.DATA_AXIS)
-    )
-    y_spec = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
-    )
 
-    def make_stream_fn(slice_steps):
-      if backend not in ('pallas', 'xla'):
-        raise ValueError(f'Unknown backend: {backend!r}')
-      if backend == 'pallas':
+    def make_stream_fn(slice_steps, kernel):
+      if kernel not in ('pallas', 'xla'):
+        raise ValueError(f'Unknown backend: {kernel!r}')
+      if kernel == 'pallas':
         from bayesnf_tpu.ops import fused_mlp
 
         subtiles = fused_mlp.resolve_subtiles()
@@ -905,88 +899,54 @@ def ensemble_map(
           mesh,
           precision,
           subtiles=subtiles,
-          kernel=backend,
+          kernel=kernel,
       )
 
-    def stream_probe_key(slice_steps):
-      from bayesnf_tpu.ops import fused_mlp
-
-      return (slice_steps, fused_mlp.resolve_subtiles())
-
-    while epoch < num_epochs:
-      chunk = (
-          num_epochs - epoch
-          if checkpointer is None
-          else min(checkpoint_every, num_epochs - epoch)
+    def on_chunk(state, losses_c, steps_done):
+      # Per-epoch loss = mean over the epoch's steps (the losses_
+      # contract); chunks are whole epochs by construction.
+      chunk_epochs = losses_c.shape[-1] // num_batches
+      loss_chunks.append(
+          losses_c.reshape(
+              losses_c.shape[0], chunk_epochs, num_batches
+          ).mean(axis=-1)
       )
-      chunk_losses = []
-      for _, aug_np, y_np in stream.slices(
-          epoch * num_batches, chunk * num_batches, int(stream_chunk_steps)
-      ):
-        if multiproc:
-          aug_dev = dist_lib.make_global(aug_np, aug_spec)
-          y_dev = dist_lib.make_global(y_np, y_spec)
-        else:
-          aug_dev = jax.device_put(aug_np, aug_spec)
-          y_dev = jax.device_put(y_np, y_spec)
-        s = int(aug_np.shape[0])
-        if auto_resolved and backend == 'pallas':
-          # Probe: build the slice program ahead-of-time — donated
-          # buffers stay intact until a compiled program executes, so
-          # the xla retry sees unconsumed inputs (same contract as the
-          # non-streaming probe below).
-          probe_key = stream_probe_key(s)
-          try:
-            probe_fn = make_stream_fn(s).lower(
-                tuple(params), opt_state, aug_dev, y_dev
-            ).compile()
-            fn = probe_fn
-          except Exception as err:  # pylint: disable=broad-except
-            backends.warn_pallas_fallback(err)
-            backend = 'xla'
-            probe_key = None
-            fn = make_stream_fn(s)
-          auto_resolved = False
-        elif backend == 'pallas' and probe_key == stream_probe_key(s):
-          fn = probe_fn
-        else:
-          fn = make_stream_fn(s)
-        params, opt_state, losses_s = fn(
-            tuple(params), opt_state, aug_dev, y_dev
-        )
-        chunk_losses.append(losses_s)
-        # Depth-2 pipeline throttle: dispatching `fn` is asynchronous, so
-        # host assembly + device_put of slice k+1 overlap device compute
-        # of slice k; blocking on slice k-1's (tiny) losses bounds how
-        # many slice buffers can be alive in HBM at once.
-        if len(chunk_losses) > 1:
-          jax.block_until_ready(chunk_losses[-2])
-      losses_c = np.concatenate(
-          [dist_lib.host_value(l) for l in chunk_losses], axis=-1
-      )
-      # Per-epoch loss = mean over the epoch's steps (the losses_ contract).
-      losses_c = losses_c.reshape(
-          losses_c.shape[0], chunk, num_batches
-      ).mean(axis=-1)
-      loss_chunks.append(losses_c)
-      epoch += chunk
       if checkpointer is not None:
         from bayesnf_tpu.utils import checkpoint as ckpt_lib
 
+        chunk_params, chunk_opt_state = state
         checkpointer.save(
             ckpt_lib.TrainState.from_opt_state(
                 params=jax.tree_util.tree_map(
-                    dist_lib.host_value, tuple(params)
+                    dist_lib.host_value, tuple(chunk_params)
                 ),
                 opt_state=jax.tree_util.tree_map(
-                    dist_lib.host_value, opt_state
+                    dist_lib.host_value, chunk_opt_state
                 ),
                 keys=dist_lib.host_value(member_keys),
                 losses=loss_chunks,
-                epoch=epoch,
+                epoch=steps_done // num_batches,
             )
         )
-    # epoch == num_epochs here, so the non-streaming loop below is a no-op.
+
+    (params, opt_state), backend = streaming_lib.run_stream_driver(
+        stream,
+        mesh=mesh,
+        multiproc=multiproc,
+        backend=backend,
+        auto_resolved=auto_resolved,
+        make_fn=make_stream_fn,
+        probe_key_extra=lambda: pallas_probe_key(0)[1],
+        state=(tuple(params), opt_state),
+        start_step=epoch * num_batches,
+        num_steps=num_epochs * num_batches,
+        slice_steps=int(stream_chunk_steps),
+        checkpoint_steps=(
+            None if checkpointer is None else checkpoint_every * num_batches
+        ),
+        on_chunk=on_chunk,
+    )
+    epoch = num_epochs  # the non-streaming loop below is a no-op
 
   while epoch < num_epochs:
     chunk = (

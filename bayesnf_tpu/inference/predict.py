@@ -249,6 +249,59 @@ def _make_predict_fn(
   return jax.jit(predict)
 
 
+def _prepare_predict_inputs(features, params, mesh, backend):
+  """Shared entry contract of the predict-stack public functions.
+
+  Globalizes inputs on a multi-process mesh (every process holds the same
+  full host values and contributes its shards; results gather back to
+  full host arrays, as in the trainers), validates/collapses the mesh
+  (a 1-device mesh adds sharding constraints that constrain nothing —
+  dropping it keeps the single-chip estimator path, where `mesh_` is
+  always a Mesh, eligible for the fused forward), and resolves 'auto' to
+  the fused Pallas forward on single-process TPU placements and the
+  portable XLA program otherwise.
+
+  Returns (features, params, mesh, multiproc, backend, auto_resolved).
+  """
+  features = jnp.asarray(features, dtype=jnp.float32)
+  params = tuple(jnp.asarray(p) for p in params)
+  multiproc = mesh is not None and distributed_lib.is_multiprocess_mesh(mesh)
+  if multiproc:
+    rep = mesh_lib.replicated_sharding(mesh)
+    features = distributed_lib.make_global(features, rep)
+    params = tuple(distributed_lib.make_global(p, rep) for p in params)
+  if backend not in ('xla', 'pallas', 'auto'):
+    raise ValueError(f'Unknown predict backend: {backend!r}')
+  if mesh is not None and mesh.size == 1 and not multiproc:
+    mesh = None
+  auto_resolved = backend == 'auto'
+  if auto_resolved:
+    backend = (
+        'pallas'
+        if jax.default_backend() == 'tpu' and not multiproc
+        else 'xla'
+    )
+  return features, params, mesh, multiproc, backend, auto_resolved
+
+
+def _run_with_pallas_fallback(run, backend, auto_resolved):
+  """`run(resolved_backend)`, falling back loudly when 'auto' chose pallas.
+
+  Nothing in the predict stack is donated, so (unlike the trainers) a
+  failed build OR a failed first execution can safely retry on the
+  portable program (same warning contract as `inference/backends.py`).
+  """
+  if auto_resolved and backend == 'pallas':
+    try:
+      return run('pallas')
+    except Exception as err:  # pylint: disable=broad-except
+      from bayesnf_tpu.inference import backends
+
+      backends.warn_pallas_fallback(err)
+      return run('xla')
+  return run(backend)
+
+
 def forecast_params_bnf(
     features,
     observation_model: str,
@@ -271,24 +324,9 @@ def forecast_params_bnf(
   """
   distribution = likelihoods.LikelihoodDist(observation_model)
   assert ensemble_dims >= 1
-  features = jnp.asarray(features, dtype=jnp.float32)
-  params = tuple(jnp.asarray(p) for p in params)
-  multiproc = mesh is not None and distributed_lib.is_multiprocess_mesh(mesh)
-  if multiproc:
-    rep = mesh_lib.replicated_sharding(mesh)
-    features = distributed_lib.make_global(features, rep)
-    params = tuple(distributed_lib.make_global(p, rep) for p in params)
-  if backend not in ('xla', 'pallas', 'auto'):
-    raise ValueError(f'Unknown predict backend: {backend!r}')
-  if mesh is not None and mesh.size == 1 and not multiproc:
-    mesh = None
-  auto_resolved = backend == 'auto'
-  if auto_resolved:
-    backend = (
-        'pallas'
-        if jax.default_backend() == 'tpu' and not multiproc
-        else 'xla'
-    )
+  features, params, mesh, multiproc, backend, auto_resolved = (
+      _prepare_predict_inputs(features, params, mesh, backend)
+  )
 
   ens_shape = params[0].shape[:ensemble_dims]
   k = int(np.prod(ens_shape))
@@ -304,16 +342,7 @@ def forecast_params_bnf(
         mesh=mesh, backend=resolved,
     )
 
-  if auto_resolved and backend == 'pallas':
-    try:
-      fp = run('pallas')
-    except Exception as err:  # pylint: disable=broad-except
-      from bayesnf_tpu.inference import backends
-
-      backends.warn_pallas_fallback(err)
-      fp = run('xla')
-  else:
-    fp = run(backend)
+  fp = _run_with_pallas_fallback(run, backend, auto_resolved)
   if multiproc:
     fp = tuple(distributed_lib.host_value(f) for f in fp)
   return tuple(f.reshape(ens_shape + f.shape[1:]) for f in fp)
@@ -361,30 +390,9 @@ def predict_bnf(
   """
   distribution = likelihoods.LikelihoodDist(observation_model)
   assert ensemble_dims >= 1
-
-  features = jnp.asarray(features, dtype=jnp.float32)
-  params = tuple(jnp.asarray(p) for p in params)
-  multiproc = mesh is not None and distributed_lib.is_multiprocess_mesh(mesh)
-  if multiproc:
-    # Every process holds the same full host values and contributes its
-    # shards; results gather back to full host arrays (as the trainers).
-    rep = mesh_lib.replicated_sharding(mesh)
-    features = distributed_lib.make_global(features, rep)
-    params = tuple(distributed_lib.make_global(p, rep) for p in params)
-  if backend not in ('xla', 'pallas', 'auto'):
-    raise ValueError(f'Unknown predict backend: {backend!r}')
-  if mesh is not None and mesh.size == 1 and not multiproc:
-    # A 1-device mesh adds sharding constraints that constrain nothing;
-    # dropping it keeps the single-chip estimator path (mesh_ is always a
-    # Mesh there) eligible for the fused forward below.
-    mesh = None
-  auto_resolved = backend == 'auto'
-  if auto_resolved:
-    backend = (
-        'pallas'
-        if jax.default_backend() == 'tpu' and not multiproc
-        else 'xla'
-    )
+  features, params, mesh, multiproc, backend, auto_resolved = (
+      _prepare_predict_inputs(features, params, mesh, backend)
+  )
 
   def build(resolved):
     return _make_predict_fn(
@@ -398,19 +406,11 @@ def predict_bnf(
         resolved,
     )
 
-  fn = build(backend)
-  if auto_resolved and backend == 'pallas':
-    # Nothing is donated here, so unlike the trainers a failed build OR a
-    # failed first execution can safely retry on the portable program.
-    try:
-      means, forecast_quantiles = fn(params, features)
-    except Exception as err:  # pylint: disable=broad-except
-      from bayesnf_tpu.inference import backends
-
-      backends.warn_pallas_fallback(err)
-      means, forecast_quantiles = build('xla')(params, features)
-  else:
-    means, forecast_quantiles = fn(params, features)
+  means, forecast_quantiles = _run_with_pallas_fallback(
+      lambda resolved: build(resolved)(params, features),
+      backend,
+      auto_resolved,
+  )
   if multiproc:
     means = distributed_lib.host_value(means)
     forecast_quantiles = tuple(

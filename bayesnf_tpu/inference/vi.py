@@ -895,17 +895,11 @@ def fit_vi(
         aug_host_t, target_host, int(batch_size), opt_seed,
         per_step_resample=True,
     )
-    aug_spec = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, None, mesh_lib.DATA_AXIS)
-    )
-    y_spec = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
-    )
 
-    def make_stream_fn(slice_steps):
-      if backend not in ('pallas', 'xla'):
-        raise ValueError(f'Unknown backend: {backend!r}')
-      if backend == 'pallas':
+    def make_stream_fn(slice_steps, kernel):
+      if kernel not in ('pallas', 'xla'):
+        raise ValueError(f'Unknown backend: {kernel!r}')
+      if kernel == 'pallas':
         from bayesnf_tpu.ops import fused_mlp
 
         subtiles = fused_mlp.resolve_subtiles()
@@ -923,81 +917,52 @@ def fit_vi(
           mesh,
           precision,
           subtiles=subtiles,
-          kernel=backend,
+          kernel=kernel,
       )
 
-    while step < num_steps:
-      chunk = (
-          num_steps - step
-          if checkpointer is None
-          else min(checkpoint_every, num_steps - step)
-      )
-      chunk_losses = []
-      for _, aug_np, y_np in stream.slices(
-          step, chunk, int(stream_chunk_steps)
-      ):
-        if multiproc:
-          aug_dev = dist_lib.make_global(aug_np, aug_spec)
-          y_dev = dist_lib.make_global(y_np, y_spec)
-        else:
-          aug_dev = jax.device_put(aug_np, aug_spec)
-          y_dev = jax.device_put(y_np, y_spec)
-        s = int(aug_np.shape[0])
-        if auto_resolved and backend == 'pallas':
-          # AOT build probe with intact donated inputs (see the
-          # non-streaming probe below for the contract).
-          probe_key = (s, pallas_probe_key(0)[1])
-          try:
-            probe_fn = make_stream_fn(s).lower(
-                surrogate, opt_state, member_keys, aug_dev, y_dev
-            ).compile()
-            fit_fn = probe_fn
-          except Exception as err:  # pylint: disable=broad-except
-            backends.warn_pallas_fallback(err)
-            backend = 'xla'
-            probe_key = None
-            fit_fn = make_stream_fn(s)
-          auto_resolved = False
-        elif backend == 'pallas' and probe_key == (
-            s, pallas_probe_key(0)[1]
-        ):
-          fit_fn = probe_fn
-        else:
-          fit_fn = make_stream_fn(s)
-        surrogate, opt_state, member_keys, losses_s = fit_fn(
-            surrogate, opt_state, member_keys, aug_dev, y_dev
-        )
-        chunk_losses.append(losses_s)
-        # Depth-2 pipeline throttle (see inference/map.py streaming loop).
-        if len(chunk_losses) > 1:
-          jax.block_until_ready(chunk_losses[-2])
+    def on_chunk(state, losses_c, steps_done):
       # VI history is per-step (no epoch averaging), as in the resident
       # path.
-      loss_chunks.append(
-          np.concatenate(
-              [dist_lib.host_value(l) for l in chunk_losses], axis=-1
-          )
-      )
-      step += chunk
+      loss_chunks.append(losses_c)
       if checkpointer is not None:
         from bayesnf_tpu.utils import checkpoint as ckpt_lib
 
+        chunk_surrogate, chunk_opt_state, chunk_keys = state
         checkpointer.save(
             ckpt_lib.TrainState.from_opt_state(
                 params=jax.tree_util.tree_map(
                     dist_lib.host_value,
-                    tuple(surrogate[0]) + tuple(surrogate[1]),
+                    tuple(chunk_surrogate[0]) + tuple(chunk_surrogate[1]),
                 ),
                 opt_state=jax.tree_util.tree_map(
-                    dist_lib.host_value, opt_state
+                    dist_lib.host_value, chunk_opt_state
                 ),
-                keys=dist_lib.host_value(member_keys),
+                keys=dist_lib.host_value(chunk_keys),
                 losses=loss_chunks,
-                epoch=step,
+                epoch=steps_done,
             )
         )
-    # step == num_steps here, so the non-streaming loop below is a no-op.
 
+    (surrogate, opt_state, member_keys), backend = (
+        streaming_lib.run_stream_driver(
+            stream,
+            mesh=mesh,
+            multiproc=multiproc,
+            backend=backend,
+            auto_resolved=auto_resolved,
+            make_fn=make_stream_fn,
+            probe_key_extra=lambda: pallas_probe_key(0)[1],
+            state=(surrogate, opt_state, member_keys),
+            start_step=step,
+            num_steps=num_steps,
+            slice_steps=int(stream_chunk_steps),
+            checkpoint_steps=(
+                None if checkpointer is None else checkpoint_every
+            ),
+            on_chunk=on_chunk,
+        )
+    )
+    step = num_steps  # the non-streaming loop below is a no-op
   while step < num_steps:
     chunk = (
         num_steps - step

@@ -160,3 +160,116 @@ class HostBatchStream:
       aug, y = self.slice_at(step, s)
       yield step, aug, y
       step += s
+
+
+def run_stream_driver(
+    stream: HostBatchStream,
+    *,
+    mesh,
+    multiproc: bool,
+    backend: str,
+    auto_resolved: bool,
+    make_fn,
+    probe_key_extra,
+    state: tuple,
+    start_step: int,
+    num_steps: int,
+    slice_steps: int,
+    checkpoint_steps: int | None,
+    on_chunk,
+):
+  """The host-side streaming train loop, shared by the MAP and VI trainers.
+
+  Drives `stream` through `num_steps` SGD steps in checkpoint-granularity
+  chunks: each slice is device_put (sharded over the mesh's 'data' axis)
+  and run through the trainer's slice program, double-buffered behind a
+  depth-2 throttle (dispatch is async, so slice k+1's host assembly +
+  transfer overlap slice k's compute; blocking on slice k-1's tiny losses
+  bounds live HBM slice buffers).
+
+  Args:
+    stream: the host batch stream positioned over the training set.
+    mesh: the fit mesh ('data' axis shards batch rows).
+    multiproc: whether the mesh spans processes (globalized transfers).
+    backend: the RESOLVED kernel ('pallas' | 'xla').
+    auto_resolved: True when 'auto' picked pallas — the first slice
+      program is built ahead-of-time so a kernel build failure can fall
+      back to xla while the donated inputs are still intact; later
+      failures propagate unmasked. The AOT program is reused for every
+      later slice with the same (slice steps, probe_key_extra()) key — an
+      env-knob change mid-run must recompile, not silently reuse.
+    make_fn: (slice_steps, kernel) -> slice program. The program takes
+      (*state, aug_dev, y_dev) and returns (*state, losses) with losses'
+      trailing axis the slice's steps.
+    probe_key_extra: () -> hashable; extra AOT-reuse key (tiling knobs).
+    state: the trainer's state tuple, threaded positionally.
+    start_step: global step to resume from (chunk-aligned).
+    num_steps: total steps of the full fit.
+    slice_steps: steps per transferred slice.
+    checkpoint_steps: chunk size in steps (None = one chunk to the end).
+    on_chunk: (state, losses, steps_done) called after each chunk with the
+      chunk's host-side loss history (trailing axis = chunk steps) —
+      checkpointing and loss bookkeeping live in the trainer.
+
+  Returns:
+    (state, backend): final state and the kernel actually used.
+  """
+  import jax  # local: keep module import-light for host-only tests
+
+  from bayesnf_tpu.inference import backends as backends_lib
+  from bayesnf_tpu.parallel import distributed as dist_lib
+  from bayesnf_tpu.parallel import mesh as mesh_lib
+
+  aug_spec = jax.sharding.NamedSharding(
+      mesh, jax.sharding.PartitionSpec(None, None, mesh_lib.DATA_AXIS)
+  )
+  y_spec = jax.sharding.NamedSharding(
+      mesh, jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
+  )
+  n_state = len(state)
+  probe_fn = None
+  probe_key = None
+  step = start_step
+  while step < num_steps:
+    chunk = (
+        num_steps - step
+        if checkpoint_steps is None
+        else min(checkpoint_steps, num_steps - step)
+    )
+    chunk_losses = []
+    for _, aug_np, y_np in stream.slices(step, chunk, slice_steps):
+      if multiproc:
+        aug_dev = dist_lib.make_global(aug_np, aug_spec)
+        y_dev = dist_lib.make_global(y_np, y_spec)
+      else:
+        aug_dev = jax.device_put(aug_np, aug_spec)
+        y_dev = jax.device_put(y_np, y_spec)
+      s = int(aug_np.shape[0])
+      if auto_resolved and backend == 'pallas':
+        probe_key = (s, probe_key_extra())
+        try:
+          probe_fn = (
+              make_fn(s, backend).lower(*state, aug_dev, y_dev).compile()
+          )
+          fn = probe_fn
+        except Exception as err:  # pylint: disable=broad-except
+          backends_lib.warn_pallas_fallback(err)
+          backend = 'xla'
+          probe_key = None
+          fn = make_fn(s, backend)
+        auto_resolved = False
+      elif backend == 'pallas' and probe_key == (s, probe_key_extra()):
+        fn = probe_fn
+      else:
+        fn = make_fn(s, backend)
+      out = fn(*state, aug_dev, y_dev)
+      state, losses_s = tuple(out[:n_state]), out[n_state]
+      chunk_losses.append(losses_s)
+      if len(chunk_losses) > 1:
+        jax.block_until_ready(chunk_losses[-2])
+    losses_c = np.concatenate(
+        [dist_lib.host_value(l) for l in chunk_losses], axis=-1
+    )
+    step += chunk
+    on_chunk(state, losses_c, step)
+  return state, backend

@@ -208,6 +208,48 @@ def main():
     print('WARNING: NB bench failed:', file=sys.stderr)
     traceback.print_exc(limit=3, file=sys.stderr)
 
+  # Quaternary metric: host-streaming minibatch throughput — the
+  # larger-than-HBM input regime (dataset host-resident, batch slices
+  # streamed to the device double-buffered). One member-step = one
+  # minibatch Adam update of one member. Compares against the resident
+  # kernel rate above to expose transfer-bound regressions. Non-fatal.
+  stream_value = None
+  try:
+    stream_epochs = 2 if small else 4
+    stream_batch = n_rows // 8
+    stream_steps_per_epoch = n_rows // stream_batch
+
+    def run_stream(num_epochs, seed):
+      _, st_losses = map_lib.ensemble_map(
+          np.asarray(aug),
+          np.asarray(y),
+          config,
+          likelihoods.LikelihoodDist.NORMAL,
+          ensemble_size=ensemble,
+          learning_rate=0.005,
+          num_epochs=num_epochs,
+          seed=jax.random.PRNGKey(seed),
+          batch_size=stream_batch,
+          prior_weight=1.0,
+          mesh=mesh,
+          precision=precision,
+          backend=backend,
+          stream_chunk_steps=4,
+      )
+      return np.asarray(st_losses)
+
+    run_stream(stream_epochs, seed=0)
+    stream_member_steps = stream_epochs * stream_steps_per_epoch * ensemble
+    with profiling.StepTimer(
+        member_steps=stream_member_steps, num_chips=n_chips
+    ) as st_timer:
+      st_losses = run_stream(stream_epochs, seed=1)
+    assert np.all(np.isfinite(st_losses)), 'non-finite stream bench loss'
+    stream_value = st_timer.report.member_steps_per_sec_per_chip
+  except Exception:  # pylint: disable=broad-except
+    print('WARNING: streaming bench failed:', file=sys.stderr)
+    traceback.print_exc(limit=3, file=sys.stderr)
+
   # Prediction latency: means + 3 exact mixture quantiles over the full
   # workload through the trained MAP ensemble (the single jitted predict
   # program). Timed device-side: every output feeds a scalar reduction so
@@ -260,6 +302,8 @@ def main():
     record['vi_member_steps_per_sec_per_chip'] = round(vi_value, 2)
   if nb_value is not None:
     record['nb_member_steps_per_sec_per_chip'] = round(nb_value, 2)
+  if stream_value is not None:
+    record['stream_member_steps_per_sec_per_chip'] = round(stream_value, 2)
   if predict_ms is not None:
     record['predict_device_ms_full_grid_3_quantiles'] = round(predict_ms, 1)
   print(json.dumps(record))
