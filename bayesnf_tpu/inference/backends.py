@@ -35,7 +35,7 @@ BACKENDS = ('xla', 'pallas', 'auto')
 
 def resolve_backend(
     backend: str, mesh, full_batch: bool = False,
-    batch_divisible: bool = True,
+    batch_divisible: bool = False,
 ) -> str:
   """Resolve 'auto' to a concrete trainer backend for this mesh/platform.
 
@@ -47,7 +47,10 @@ def resolve_backend(
   each shard contributes batch_size/data_shards rows per step through the
   per-shard permutation scheme of parallel/minibatch.py). A sharded
   non-divisible minibatch needs the XLA backend (global permutation
-  gather).
+  gather). `batch_divisible` defaults to False — the fail-safe direction:
+  a caller that omits it on a sharded-data minibatch gets 'xla' (always
+  correct) rather than a kernel whose permutation scheme its batch cannot
+  satisfy.
   """
   if backend not in BACKENDS:
     raise ValueError(f'Unknown backend: {backend!r} (expected {BACKENDS}).')

@@ -139,9 +139,23 @@ class ZeroInflatedNegativeBinomial:
 
   def sample(self, key, sample_shape=()):
     mix_key, nb_key = jax.random.split(key)
-    nb_draw = self._nb.sample(nb_key, sample_shape)
+    # The batch shape includes pi (as in TFP): a wider inflated_loc_probs
+    # must widen the draw, not crash the broadcast below.
+    batch = jnp.broadcast_shapes(
+        jnp.shape(self.total_count),
+        jnp.shape(self.logits),
+        jnp.shape(self.inflated_loc_probs),
+    )
+    shape = tuple(sample_shape) + batch
+    # Widen the NB params BEFORE sampling so every batch element gets an
+    # independent draw (broadcasting the draw afterwards would alias them).
+    nb_wide = NegativeBinomial(
+        jnp.broadcast_to(self.total_count, batch),
+        jnp.broadcast_to(self.logits, batch),
+    )
+    nb_draw = nb_wide.sample(nb_key, sample_shape)
     inflate = jax.random.bernoulli(
-        mix_key, jnp.broadcast_to(self.inflated_loc_probs, nb_draw.shape)
+        mix_key, jnp.broadcast_to(self.inflated_loc_probs, shape)
     )
     return jnp.where(inflate, 0.0, nb_draw)
 
@@ -175,10 +189,14 @@ class Independent:
     return self.distribution.variance()
 
   def cdf(self, x):
-    return self.distribution.cdf(x)
+    # Joint CDF of independent components: product over the event axes
+    # (consistent with log_prob's sum, and with TFP's Independent).
+    axes = tuple(range(-self.reinterpreted_batch_ndims, 0))
+    return jnp.prod(self.distribution.cdf(x), axis=axes)
 
   def prob(self, x):
-    return self.distribution.prob(x)
+    # prob must equal exp(log_prob): reduce over the event axes.
+    return jnp.exp(self.log_prob(x))
 
   def sample(self, key, sample_shape=()):
     return self.distribution.sample(key, sample_shape)

@@ -38,14 +38,19 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
   On Cloud TPU pods all arguments are discovered from the environment;
   elsewhere pass them explicitly (see `jax.distributed.initialize`).
   """
+  if getattr(jax.distributed, 'is_initialized', lambda: False)():
+    return
   try:
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
-  except RuntimeError as e:  # already initialized
-    if 'already initialized' not in str(e):
+  except RuntimeError as e:
+    # Double-init raises RuntimeError('distributed.initialize should only
+    # be called once.') — treat it (and older phrasings) as the no-op.
+    msg = str(e)
+    if 'once' not in msg and 'already initialized' not in msg:
       raise
 
 

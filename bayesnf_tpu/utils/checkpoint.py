@@ -11,12 +11,14 @@ import dataclasses
 import hashlib
 import json
 import os
+import re
 
 import jax
 import numpy as np
 
 try:
   import orbax.checkpoint as ocp
+  from etils import epath  # orbax dependency; speaks local + gs:// paths
 
   _HAS_ORBAX = True
 except ImportError:  # pragma: no cover - orbax is in the base image
@@ -96,6 +98,19 @@ def run_fingerprint(**kwargs) -> str:
   return hashlib.sha256(blob.encode('utf-8')).hexdigest()[:16]
 
 
+def _normalize_directory(directory: str) -> str:
+  """Absolutize local paths; pass remote URIs through untouched.
+
+  `os.path.abspath` would mangle a remote URI (gs://bucket ->
+  <cwd>/gs:/bucket), silently redirecting a pod's collective checkpoint
+  to per-host local disk. Remote paths go to orbax verbatim; the marker
+  IO uses etils epath, which speaks both.
+  """
+  if re.match(r'^[a-zA-Z][a-zA-Z0-9+.-]*://', str(directory)):
+    return str(directory)
+  return os.path.abspath(directory)
+
+
 class TrainCheckpointer:
   """Thin orbax CheckpointManager wrapper keyed by epoch.
 
@@ -113,7 +128,7 @@ class TrainCheckpointer:
   ):
     if not _HAS_ORBAX:
       raise ImportError('orbax-checkpoint is required for checkpointing.')
-    directory = os.path.abspath(directory)
+    directory = _normalize_directory(directory)
     self._manager = ocp.CheckpointManager(
         directory,
         options=ocp.CheckpointManagerOptions(
@@ -143,14 +158,33 @@ class TrainCheckpointer:
       if stored is None and jax.process_index() == 0:
         # Single writer in multi-process runs (process 0 also owns the
         # checkpoint saves); other processes only validate.
-        with open(self._meta_path, 'w') as f:
-          json.dump({'fingerprint': fingerprint}, f)
+        self._write_marker(fingerprint)
+
+  def _write_marker(self, fingerprint: str):
+    # The marker must appear atomically: other processes read it
+    # concurrently from their __init__ validation, and a torn read of a
+    # half-written file would crash them inside the collective save.
+    # Locally, write-to-temp + os.replace publishes in one step; object
+    # stores (gs://, s3://) publish uploads atomically on completion.
+    payload = json.dumps({'fingerprint': fingerprint})
+    path = epath.Path(self._meta_path)
+    if str(path).startswith('/'):  # local filesystem
+      tmp = path.parent / f'.fingerprint.{os.getpid()}.tmp'
+      tmp.write_text(payload)
+      os.replace(str(tmp), str(path))
+    else:
+      path.write_text(payload)
 
   def _read_marker(self):
-    if not os.path.exists(self._meta_path):
+    path = epath.Path(self._meta_path)
+    if not path.exists():
       return None
-    with open(self._meta_path) as f:
-      return json.load(f).get('fingerprint')
+    try:
+      return json.loads(path.read_text()).get('fingerprint')
+    except (json.JSONDecodeError, ValueError):
+      # A torn/empty marker can only be external damage (writes publish
+      # atomically); treat it as absent rather than crashing a collective.
+      return None
 
   def save(self, state: TrainState):
     if self._fingerprint is not None:

@@ -63,6 +63,18 @@ def test_auto_is_xla_on_tpu_with_sharded_nondivisible_minibatch(monkeypatch):
   ) == 'xla'
 
 
+def test_auto_sharded_minibatch_defaults_to_xla(monkeypatch):
+  """Omitting batch_divisible must fail SAFE: a sharded-data minibatch
+  resolves to 'xla' (always correct) unless the caller explicitly attests
+  the batch divides the shard count."""
+  monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+  devices = np.array(jax.devices()).reshape(-1, 2)
+  mesh = jax.sharding.Mesh(
+      devices, (mesh_lib.ENSEMBLE_AXIS, mesh_lib.DATA_AXIS)
+  )
+  assert backends.resolve_backend('auto', mesh) == 'xla'
+
+
 def test_auto_on_tpu_with_sharded_data(monkeypatch):
   """Pallas covers a sharded data axis both full-batch (any N) and for a
   shard-divisible minibatch (per-shard local permutation)."""

@@ -193,6 +193,37 @@ class TestVICheckpoint:
       np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_remote_uri_directories_pass_through_unmangled():
+  """abspath must not rewrite gs://bucket to <cwd>/gs:/bucket — that would
+  silently redirect a pod's collective checkpoint to per-host local disk."""
+  from bayesnf_tpu.utils import checkpoint as ckpt_lib
+
+  assert (
+      ckpt_lib._normalize_directory('gs://bucket/ckpt') == 'gs://bucket/ckpt'
+  )
+  assert ckpt_lib._normalize_directory('s3://b/x') == 's3://b/x'
+  assert ckpt_lib._normalize_directory('relative/dir').startswith('/')
+
+
+def test_fingerprint_marker_survives_torn_reads(tmp_path):
+  """The marker publishes atomically and a torn/empty file (external
+  damage) reads as absent instead of crashing a collective save."""
+  import os
+
+  from bayesnf_tpu.utils import checkpoint as ckpt_lib
+
+  c = ckpt_lib.TrainCheckpointer(str(tmp_path), fingerprint='abc')
+  assert c._read_marker() == 'abc'
+  marker = os.path.join(str(tmp_path), 'fingerprint.json')
+  with open(marker, 'w') as f:
+    f.write('{"fingerpr')  # torn write from a dying external process
+  assert c._read_marker() is None
+  c._write_marker('abc')
+  assert c._read_marker() == 'abc'
+  # No temp debris left behind by the atomic publish.
+  assert [p for p in tmp_path.iterdir() if 'tmp' in p.name] == []
+
+
 def test_backend_switch_refuses_resume(tmp_path):
   """xla- and pallas-trained chunks differ up to matmul reassociation, so a
   resume under a different RESOLVED backend must refuse, not silently mix

@@ -230,3 +230,32 @@ class TestDistributionObjects:
     np.testing.assert_allclose(
         np.asarray(lp), 4 * scipy.stats.norm.logpdf(0.0), rtol=1e-6
     )
+
+  def test_independent_prob_and_cdf_reduce_event_axes(self):
+    """prob must equal exp(log_prob) on the same object, and the joint
+    CDF of independent components is the product over the event axes
+    (both reduce, as in TFP's Independent)."""
+    base = dist_lib.Normal(jnp.zeros(4), jnp.ones(4))
+    d = dist_lib.Independent(base, 1)
+    x = jnp.array([0.1, -0.2, 0.3, 0.0])
+    assert d.prob(x).shape == ()
+    np.testing.assert_allclose(
+        np.asarray(d.prob(x)), np.exp(np.asarray(d.log_prob(x))), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(d.cdf(x)), np.prod(np.asarray(base.cdf(x))), rtol=1e-6
+    )
+
+  def test_zinb_sample_broadcasts_pi_into_batch(self):
+    """inflated_loc_probs participates in the sample's batch shape (TFP
+    semantics), and the widened draws are independent, not aliased."""
+    z = dist_lib.ZeroInflatedNegativeBinomial(
+        jnp.asarray(5.0), jnp.asarray(0.0), jnp.full((10,), 0.3)
+    )
+    assert z.sample(jax.random.PRNGKey(0)).shape == (10,)
+    assert z.sample(jax.random.PRNGKey(0), (7,)).shape == (7, 10)
+    no_inflate = dist_lib.ZeroInflatedNegativeBinomial(
+        jnp.asarray(50.0), jnp.asarray(0.0), jnp.zeros((64,))
+    )
+    draws = np.asarray(no_inflate.sample(jax.random.PRNGKey(1)))
+    assert len(np.unique(draws)) > 10, draws
