@@ -311,6 +311,7 @@ def forecast_params_bnf(
     chunk_size: int = 4096,
     mesh=None,
     backend: str = 'auto',
+    stream_chunk_rows: int | None = None,
 ):
   """Per-member forecast distribution parameters at new points.
 
@@ -321,7 +322,20 @@ def forecast_params_bnf(
   parameter tuple (see `likelihoods.forecast_params`) with each leaf
   reshaped to the public ensemble axes: per-row leaves
   `ensemble_shape + (N,)`, scalar leaves `ensemble_shape`.
+
+  `stream_chunk_rows`: when set, rows stream from host RAM through the
+  device in chunks of this size and the returned leaves are host numpy
+  buffers — device memory stays O(chunk) instead of O(members x N). Bit
+  identical to the in-memory path (`inference/predict_stream.py`).
   """
+  if stream_chunk_rows is not None:
+    from bayesnf_tpu.inference import predict_stream
+
+    return predict_stream.forecast_params_bnf_streamed(
+        features, observation_model, params, config,
+        ensemble_dims=ensemble_dims, chunk_size=chunk_size, mesh=mesh,
+        backend=backend, stream_chunk_rows=stream_chunk_rows,
+    )
   distribution = likelihoods.LikelihoodDist(observation_model)
   assert ensemble_dims >= 1
   features, params, mesh, multiproc, backend, auto_resolved = (
@@ -359,6 +373,7 @@ def predict_bnf(
     chunk_size: int = 4096,
     mesh=None,
     backend: str = 'auto',
+    stream_chunk_rows: int | None = None,
 ):
   """Predict means and mixture quantiles at new points.
 
@@ -383,11 +398,25 @@ def predict_bnf(
       (explicit 'pallas' is honored). An auto-selected pallas program
       that fails to build falls back to xla with a loud warning (same
       contract as the trainers, `inference/backends.py`).
+    stream_chunk_rows: when set, the grid streams from host RAM through
+      the device in chunks of this many rows and results assemble into
+      host numpy buffers — device memory stays O(chunk) instead of
+      O(members x N), the predict-side twin of `stream_chunk_steps`
+      training. Bit-identical outputs (`inference/predict_stream.py`).
 
   Returns:
     (means, [quantile arrays]): means keeps the ensemble axes,
     shape `ensemble_shape + (N,)`; each quantile array is (N,).
   """
+  if stream_chunk_rows is not None:
+    from bayesnf_tpu.inference import predict_stream
+
+    return predict_stream.predict_bnf_streamed(
+        features, observation_model, params, config, quantiles,
+        ensemble_dims=ensemble_dims,
+        approximate_quantiles=approximate_quantiles, chunk_size=chunk_size,
+        mesh=mesh, backend=backend, stream_chunk_rows=stream_chunk_rows,
+    )
   distribution = likelihoods.LikelihoodDist(observation_model)
   assert ensemble_dims >= 1
   features, params, mesh, multiproc, backend, auto_resolved = (

@@ -129,7 +129,7 @@ def find_root_chandrupatla(
 
 
 @functools.partial(jax.jit, static_argnames=('axis',))
-def normal_mixture_quantile_root(means, scales, q, axis=(0, 1)):
+def normal_mixture_quantile_root(means, scales, q, axis=(0, 1), stats=None):
   """Exact quantile of a uniform mixture of Normals via root-finding.
 
   Args:
@@ -137,6 +137,12 @@ def normal_mixture_quantile_root(means, scales, q, axis=(0, 1)):
     scales: broadcastable with `means` (callers newaxis the trailing dim).
     q: scalar quantile in (0, 1).
     axis: ensemble axes to average the CDF over.
+    stats: optional (min_mean, max_mean, max_scale) precomputed bracket
+      statistics. The streamed predictor passes GLOBAL statistics here so a
+      per-chunk root-find uses the same bracket — hence the same per-lane
+      iteration trajectory, bit for bit — as one in-memory root-find over
+      all rows (min/max are exact, so chunked running extrema equal the
+      whole-array reductions used by default).
 
   Returns:
     (N,) array of mixture quantiles.
@@ -145,8 +151,11 @@ def normal_mixture_quantile_root(means, scales, q, axis=(0, 1)):
   def f(x):
     return jnp.mean(special.normal_cdf(x, means, scales), axis=axis) - q
 
-  low = jnp.amin(means) - 5.0 * jnp.amax(scales)
-  high = jnp.amax(means) + 5.0 * jnp.amax(scales)
+  if stats is None:
+    stats = (jnp.amin(means), jnp.amax(means), jnp.amax(scales))
+  min_mean, max_mean, max_scale = stats
+  low = min_mean - 5.0 * max_scale
+  high = max_mean + 5.0 * max_scale
   return find_root_chandrupatla(
       f, low, high, value_tolerance=1e-5, max_iterations=60
   )
@@ -181,7 +190,7 @@ def normal_mixture_quantiles(
 
 
 @functools.partial(jax.jit, static_argnames=('ensemble_axes',))
-def count_mixture_quantile_root(dist, q, ensemble_axes=(0, 1)):
+def count_mixture_quantile_root(dist, q, ensemble_axes=(0, 1), stats=None):
   """Quantiles of an ensemble mixture of (ZI)NB distributions.
 
   `dist` is a (Zero-Inflated) NegativeBinomial from
@@ -189,14 +198,19 @@ def count_mixture_quantile_root(dist, q, ensemble_axes=(0, 1)):
   axes plus a trailing observation axis. Root-finds the mean CDF, then
   ceils, clamping to zero wherever the mixture already puts > q mass at 0
   (reference inference.py:298-333).
+
+  `stats`, when given, is (max_mean, max_stddev) precomputed over ALL rows;
+  the streamed predictor uses it so per-chunk root-finds share the global
+  bracket (see :func:`normal_mixture_quantile_root`).
   """
 
   def f(x):
     return jnp.mean(dist.cdf(x), axis=ensemble_axes) - q
 
-  high = jnp.amax(dist.mean()) + 1.1 * jax.lax.rsqrt(1.0 - q) * jnp.amax(
-      dist.stddev()
-  )
+  if stats is None:
+    stats = (jnp.amax(dist.mean()), jnp.amax(dist.stddev()))
+  max_mean, max_std = stats
+  high = max_mean + 1.1 * jax.lax.rsqrt(1.0 - q) * max_std
   root = find_root_chandrupatla(
       f, 0.0, high, value_tolerance=1e-5, max_iterations=60
   )

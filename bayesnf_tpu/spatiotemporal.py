@@ -237,7 +237,7 @@ class BayesianNeuralFieldEstimator:
     return device
 
   def predict(self, table, quantiles=(0.5,), approximate_quantiles=False,
-              backend='auto'):
+              backend='auto', stream_chunk_rows=None):
     """Predict the target at new field points.
 
     Args:
@@ -247,6 +247,13 @@ class BayesianNeuralFieldEstimator:
         root-finding.
       backend: 'auto' (default: fused Pallas forward on a single-chip TPU
         placement, portable XLA otherwise) | 'xla' | 'pallas'.
+      stream_chunk_rows: when set, the prediction grid streams from host
+        RAM through the device in chunks of this many rows and results
+        assemble into host numpy buffers — device memory stays O(chunk)
+        instead of O(ensemble x len(table)). The predict-side twin of
+        `fit(stream_chunk_steps=...)`: a model trained by streaming can
+        predict on a grid of the same scale. Outputs are bit-identical
+        to the in-memory path.
 
     Returns:
       (means, quantiles): means has the ensemble leading dims
@@ -268,6 +275,7 @@ class BayesianNeuralFieldEstimator:
         approximate_quantiles=approximate_quantiles,
         mesh=self.mesh_,
         backend=backend,
+        stream_chunk_rows=stream_chunk_rows,
     )
 
   def fit(self, table, seed, **kwargs):
@@ -412,7 +420,8 @@ class BayesianNeuralFieldEstimator:
           )
     return model
 
-  def likelihood_model(self, table: pd.DataFrame, backend: str = 'auto'):
+  def likelihood_model(self, table: pd.DataFrame, backend: str = 'auto',
+                       stream_chunk_rows=None):
     """Predictive distribution object over the target at new points.
 
     Must be called after `fit`. Returns an
@@ -422,6 +431,9 @@ class BayesianNeuralFieldEstimator:
     Rides the same stack as :meth:`predict`: the cached device-resident
     parameters, the fit mesh (row-parallel over `mesh_`, multi-process
     safe), and under `backend='auto'` the fused Pallas forward on TPU.
+    With `stream_chunk_rows` set, rows stream from host RAM in bounded
+    chunks and the distribution wraps host numpy parameter buffers
+    (device memory stays O(chunk); see :meth:`predict`).
     """
     test_data = self.data_handler.get_test(table)
     config = self._field_config(test_data.shape)
@@ -435,6 +447,7 @@ class BayesianNeuralFieldEstimator:
         ensemble_dims=self._ensemble_dims,
         mesh=self.mesh_,
         backend=backend,
+        stream_chunk_rows=stream_chunk_rows,
     )
 
     if distribution == likelihoods.LikelihoodDist.NORMAL:
@@ -471,6 +484,7 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
       precision='f32',
       backend='auto',
       stream_chunk_steps=None,
+      stream_member_remix=False,
   ) -> BayesianNeuralFieldEstimator:
     """Run stochastic ensemble MAP (or MLE) inference.
 
@@ -498,6 +512,11 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
         the regime for datasets larger than device memory. Uses one
         shared per-epoch batch permutation across ensemble members (a
         documented RNG deviation; see `parallel/streaming.py`).
+      stream_member_remix: (streaming only) each member repartitions
+        every transferred slice's rows into its own batches on device,
+        restoring per-member SGD-noise decorrelation at zero extra
+        host->device traffic (measured in PARITY.md). Makes
+        `stream_chunk_steps` semantic (the remix window).
 
     Returns:
       self.
@@ -542,6 +561,7 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
         precision=precision,
         backend=backend,
         stream_chunk_steps=stream_chunk_steps,
+        stream_member_remix=stream_member_remix,
     )
     g, m = _group_shape(ensemble_size, mesh)
     self.params_ = tuple(p.reshape((g, m) + p.shape[1:]) for p in params)
