@@ -118,6 +118,46 @@ def main():
       backend='xla',
   )
 
+  # Host-streaming MAP over the multi-process mesh: every process
+  # assembles the same host batches (stream entropy derives from the raw
+  # fit key, stable across processes), contributes its data-axis shards
+  # via make_global, and gets full host params/losses back.
+  aug_host, y_host = np.asarray(aug), np.asarray(y)
+  stream_params, stream_losses = map_lib.ensemble_map(
+      aug_host, y_host, config, likelihoods.LikelihoodDist.NORMAL,
+      ensemble_size=6, learning_rate=0.01, num_epochs=4,
+      seed=jax.random.PRNGKey(0), batch_size=32, prior_weight=1.0,
+      mesh=mesh, backend='xla', stream_chunk_steps=2,
+  )
+  out_stream = {
+      'stream_map_losses': np.asarray(stream_losses).tolist(),
+      'stream_map_param_sums': [
+          float(np.sum(np.asarray(p))) for p in stream_params
+      ],
+  }
+
+  # Host-streaming VI over the multi-process mesh (per-step resampled
+  # batches shared across members and MC draws).
+  _, stream_vi_losses, _ = vi_lib.fit_vi(
+      aug_host, y_host, jax.random.PRNGKey(1), 'NORMAL', config,
+      ensemble_size=4, learning_rate=0.01, num_epochs=3,
+      sample_size_divergence=2, sample_size_posterior=2, batch_size=32,
+      mesh=mesh, backend='xla', stream_chunk_steps=2,
+  )
+  out_stream['stream_vi_losses'] = np.asarray(stream_vi_losses).tolist()
+
+  # Out-of-core streamed predict over the multi-process mesh: rows stream
+  # in host chunks (globalized per chunk), results gather to full host
+  # buffers on every process.
+  sp_means, sp_qs = predict_lib.predict_bnf(
+      x, 'NORMAL', params, config, quantiles=(0.1, 0.9), ensemble_dims=1,
+      chunk_size=32, mesh=mesh, stream_chunk_rows=48,
+  )
+  out_stream['stream_predict_means'] = np.asarray(sp_means).ravel().tolist()
+  out_stream['stream_predict_quantiles'] = [
+      np.asarray(q).tolist() for q in sp_qs
+  ]
+
   out = {
       'process_id': process_id,
       'mesh_shape': dict(mesh.shape),
@@ -131,6 +171,7 @@ def main():
       'predict_quantiles': [np.asarray(q).tolist() for q in pred_qs],
       'forecast_param_shapes': [list(np.shape(f)) for f in fp],
       'forecast_param_sums': [float(np.sum(np.asarray(f))) for f in fp],
+      **out_stream,
   }
 
   if ckpt_dir is not None:
@@ -154,6 +195,27 @@ def main():
         **common,
     )
     out['ckpt_map_losses'] = np.asarray(resumed_losses).tolist()
+
+    # Mid-stream checkpoint resume across the process boundary: the
+    # host-streamed fit is interrupted after its first checkpointed chunk,
+    # then resumed by a fresh invocation — every process must replay the
+    # identical remaining batch sequence (stream state is derived, not
+    # stored) and land on the uninterrupted streamed run's exact losses.
+    stream_common = dict(
+        ensemble_size=6, learning_rate=0.01, num_epochs=4,
+        seed=jax.random.PRNGKey(0), batch_size=32, prior_weight=1.0,
+        mesh=mesh, backend='xla', stream_chunk_steps=2,
+        checkpoint_dir=os.path.join(ckpt_dir, 'stream'), checkpoint_every=2,
+    )
+    map_lib.ensemble_map(
+        aug_host, y_host, config, likelihoods.LikelihoodDist.NORMAL,
+        **dict(stream_common, num_epochs=2),
+    )
+    _, stream_resumed = map_lib.ensemble_map(
+        aug_host, y_host, config, likelihoods.LikelihoodDist.NORMAL,
+        **stream_common,
+    )
+    out['ckpt_stream_map_losses'] = np.asarray(stream_resumed).tolist()
 
   print('WORKER_RESULT ' + json.dumps(out), flush=True)
 

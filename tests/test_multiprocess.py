@@ -71,7 +71,12 @@ def _run_workers(data_devices_per_host, ckpt_dir=None):
 
 
 def _reference_fit(data_devices):
-  """Same fits on this process' identically-shaped 8-device mesh."""
+  """Same fits on this process' identically-shaped 8-device mesh.
+
+  Returns in-memory MAP/VI losses and predict outputs, plus host-STREAMED
+  MAP/VI losses (same seeds, same mesh shape) — the single-process truth
+  the two-process streamed fits must reproduce.
+  """
   config = field_lib.FieldConfig.create(
       width=16,
       depth=2,
@@ -104,11 +109,26 @@ def _reference_fit(data_devices):
       x, 'NORMAL', params, config, quantiles=(0.1, 0.9),
       ensemble_dims=1, chunk_size=32, mesh=mesh,
   )
+  _, stream_losses = map_lib.ensemble_map(
+      np.asarray(aug), np.asarray(y), config,
+      likelihoods.LikelihoodDist.NORMAL,
+      ensemble_size=6, learning_rate=0.01, num_epochs=4,
+      seed=jax.random.PRNGKey(0), batch_size=32, prior_weight=1.0,
+      mesh=mesh, backend='xla', stream_chunk_steps=2,
+  )
+  _, stream_vi_losses, _ = vi_lib.fit_vi(
+      np.asarray(aug), np.asarray(y), jax.random.PRNGKey(1), 'NORMAL',
+      config, ensemble_size=4, learning_rate=0.01, num_epochs=3,
+      sample_size_divergence=2, sample_size_posterior=2, batch_size=32,
+      mesh=mesh, backend='xla', stream_chunk_steps=2,
+  )
   return (
       np.asarray(losses),
       np.asarray(vi_losses),
       np.asarray(pred_means),
       [np.asarray(q) for q in pred_qs],
+      np.asarray(stream_losses),
+      np.asarray(stream_vi_losses),
   )
 
 
@@ -149,11 +169,37 @@ def test_two_process_fit_matches_single_process(
   assert r0['forecast_param_sums'] == r1['forecast_param_sums']
   assert np.all(np.isfinite(np.asarray(r0['forecast_param_sums'])))
 
+  # Host-streaming over the multi-process mesh: both processes assemble
+  # identical batch streams and hold identical full results.
+  assert r0['stream_map_losses'] == r1['stream_map_losses']
+  assert r0['stream_map_param_sums'] == r1['stream_map_param_sums']
+  assert r0['stream_vi_losses'] == r1['stream_vi_losses']
+  assert np.all(np.isfinite(np.asarray(r0['stream_map_losses'])))
+  assert np.all(np.isfinite(np.asarray(r0['stream_vi_losses'])))
+
+  # Out-of-core streamed predict over the multi-process mesh: identical
+  # full host buffers on both processes, matching the in-memory predict
+  # the workers ran on the same params (different partitioned program —
+  # ulp-level agreement, see tests/test_predict_stream.py).
+  assert r0['stream_predict_means'] == r1['stream_predict_means']
+  assert r0['stream_predict_quantiles'] == r1['stream_predict_quantiles']
+  np.testing.assert_allclose(
+      np.asarray(r0['stream_predict_means']),
+      np.asarray(r0['predict_means']),
+      rtol=1e-6, atol=1e-7,
+  )
+  for got_q, mem_q in zip(
+      r0['stream_predict_quantiles'], r0['predict_quantiles']
+  ):
+    np.testing.assert_allclose(
+        np.asarray(got_q), np.asarray(mem_q), rtol=1e-6, atol=1e-7
+    )
+
   # And the numbers match a single-process run of the same seeds on an
   # identically-shaped mesh (reduction order may differ when the data
   # axis is sharded, hence allclose rather than equality).
-  want_map, want_vi, want_means, want_qs = _reference_fit(
-      data_devices_per_host
+  want_map, want_vi, want_means, want_qs, want_stream, want_stream_vi = (
+      _reference_fit(data_devices_per_host)
   )
   np.testing.assert_allclose(
       np.asarray(r0['map_losses']), want_map, rtol=1e-5
@@ -164,6 +210,12 @@ def test_two_process_fit_matches_single_process(
   )
   for got_q, want_q in zip(r0['predict_quantiles'], want_qs):
     np.testing.assert_allclose(np.asarray(got_q), want_q, rtol=1e-4)
+  np.testing.assert_allclose(
+      np.asarray(r0['stream_map_losses']), want_stream, rtol=1e-5
+  )
+  np.testing.assert_allclose(
+      np.asarray(r0['stream_vi_losses']), want_stream_vi, rtol=1e-5
+  )
 
   if ckpt_dir is not None:
     # Checkpoint/resume across the process boundary (process 0 writes, all
@@ -171,3 +223,7 @@ def test_two_process_fit_matches_single_process(
     # the uninterrupted 4-epoch fit exactly, on both processes.
     assert r0['ckpt_map_losses'] == r0['map_losses']
     assert r1['ckpt_map_losses'] == r0['map_losses']
+    # Mid-stream resume across the process boundary: the resumed streamed
+    # fit must land on the uninterrupted streamed fit's exact losses.
+    assert r0['ckpt_stream_map_losses'] == r0['stream_map_losses']
+    assert r1['ckpt_stream_map_losses'] == r0['stream_map_losses']
