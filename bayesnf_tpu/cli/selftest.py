@@ -169,6 +169,8 @@ def main(argv=None):
     # Predict agreement on the params the XLA fit produced (shared input
     # to both predict programs; count models exercise the root-finder).
     p = tuple(x[jnp.newaxis] for x in results['xla'][0])  # (1, E, ...)
+    if distribution == 'NORMAL':
+      normal_params = results['xla'][0]  # for the streamed-predict leg
     preds = {}
     for predict_backend in ('xla', 'pallas'):
       means, (q50, q975) = predict_lib.predict_bnf(
@@ -195,8 +197,9 @@ def main(argv=None):
   # VI: ELBO trajectory agreement (NORMAL is the representative cell; the
   # per-distribution kernel bodies are already covered by the MAP loop).
   vi_losses = {}
+  vi_draws = {}
   for train_backend in ('xla', 'pallas'):
-    _, losses, _ = vi_lib.fit_vi(
+    _, losses, draws = vi_lib.fit_vi(
         aug, y_normal,
         seed=jax.random.PRNGKey(7),
         observation_model='NORMAL',
@@ -210,10 +213,44 @@ def main(argv=None):
         backend=train_backend,
     )
     vi_losses[train_backend] = np.asarray(losses)[:, -1]
+    vi_draws[train_backend] = draws
   _loss_agreement(
       'vi/NORMAL final losses',
       vi_losses['pallas'], vi_losses['xla'], args.rtol, checks,
   )
+
+  # VI predict: the ensemble_dims=3 path (groups x samples x members) —
+  # means + an exact mixture quantile over the posterior-draw ensemble,
+  # backend agreement on the XLA fit's draws.
+  vi_p = tuple(d[jnp.newaxis] for d in vi_draws['xla'])  # (1, E, S, ...)
+  vi_preds = {}
+  for predict_backend in ('xla', 'pallas'):
+    means, (q50,) = predict_lib.predict_bnf(
+        aug[:, : config.num_inputs], 'NORMAL', vi_p, config,
+        quantiles=(0.5,), ensemble_dims=3, backend=predict_backend,
+    )
+    vi_preds[predict_backend] = (means, q50)
+  for i, part in enumerate(('means', 'q50')):
+    _pred_agreement(
+        f'vi-predict/NORMAL {part}',
+        vi_preds['pallas'][i], vi_preds['xla'][i], args.rtol,
+        np.std(np.asarray(y_normal)), checks)
+
+  # likelihood_model's engine: raw forecast distribution parameters
+  # (loc/scale, total_count/logits/pi) must agree across backends — this
+  # is the path `estimator.likelihood_model` serves distributions from.
+  p_zinb = tuple(x[jnp.newaxis] for x in results['xla'][0])  # last MAP fit
+  fp_by_backend = {}
+  for predict_backend in ('xla', 'pallas'):
+    fp_by_backend[predict_backend] = predict_lib.forecast_params_bnf(
+        aug[:, : config.num_inputs], 'ZINB', p_zinb, config,
+        ensemble_dims=2, backend=predict_backend,
+    )
+  for i, part in enumerate(('total_count', 'logits', 'pi')):
+    _pred_agreement(
+        f'likelihood-model/ZINB {part}',
+        fp_by_backend['pallas'][i], fp_by_backend['xla'][i], args.rtol,
+        float(np.std(np.asarray(fp_by_backend['xla'][i]))) or 1.0, checks)
 
   # Streaming: host-resident dataset shipped to the device in step slices.
   # Two on-device contracts: (a) backend agreement on a streamed minibatch
@@ -262,6 +299,78 @@ def main(argv=None):
   print(f'{"PASS" if bit_ok else "FAIL"} stream/NORMAL slice '
         f'bit-invariance: chunk_steps 2 vs 3 '
         f'{"bitwise equal" if bit_ok else "DIFFER"}')
+
+  # Count-model streaming: the in-kernel Stirling gammaln path under the
+  # streamed slice program, backend agreement.
+  nb_stream_losses = {}
+  for train_backend in ('xla', 'pallas'):
+    _, losses = map_lib.fit_map(
+        aug_host, y_counts,
+        seed=jax.random.PRNGKey(7),
+        observation_model='NB',
+        config=config,
+        num_particles=args.ensemble,
+        learning_rate=0.005,
+        num_epochs=args.epochs,
+        batch_size=stream_batch,
+        backend=train_backend,
+        stream_chunk_steps=2,
+    )
+    nb_stream_losses[train_backend] = losses
+  _loss_agreement(
+      'stream/NB final losses',
+      nb_stream_losses['pallas'][:, -1], nb_stream_losses['xla'][:, -1],
+      args.rtol, checks,
+  )
+
+  # VI streaming: per-step host-resampled batches through the fused
+  # kernel; backend agreement on the final ELBO.
+  vi_stream_losses = {}
+  for train_backend in ('xla', 'pallas'):
+    _, losses, _ = vi_lib.fit_vi(
+        aug_host, y_normal,
+        seed=jax.random.PRNGKey(7),
+        observation_model='NORMAL',
+        config=config,
+        ensemble_size=args.ensemble,
+        learning_rate=0.01,
+        num_epochs=args.epochs,
+        sample_size_divergence=3,
+        sample_size_posterior=2,
+        kl_weight=0.1,
+        batch_size=stream_batch,
+        backend=train_backend,
+        stream_chunk_steps=2,
+    )
+    vi_stream_losses[train_backend] = np.asarray(losses)[:, -1]
+  _loss_agreement(
+      'stream-vi/NORMAL final losses',
+      vi_stream_losses['pallas'], vi_stream_losses['xla'], args.rtol, checks,
+  )
+
+  # Out-of-core streamed predict: host-chunked rows with the global-
+  # bracket two-pass scheme must reproduce the in-memory predict program
+  # on-device (same backend, meshless => bit-level expected; tolerance
+  # guards against cross-program fusion ulps on real hardware).
+  pred_backend = 'pallas' if backend == 'tpu' else 'xla'
+  p_norm = tuple(x[jnp.newaxis] for x in normal_params)
+  sp_kwargs = dict(
+      quantiles=(0.5, 0.975), ensemble_dims=2, backend=pred_backend,
+  )
+  mem = predict_lib.predict_bnf(
+      aug[:, : config.num_inputs], 'NORMAL', p_norm, config, **sp_kwargs
+  )
+  streamed = predict_lib.predict_bnf(
+      np.asarray(aug[:, : config.num_inputs]), 'NORMAL', p_norm, config,
+      stream_chunk_rows=max(64, args.rows // 3), **sp_kwargs
+  )
+  _pred_agreement(
+      'stream-predict/NORMAL means', streamed[0], mem[0], args.rtol,
+      np.std(np.asarray(y_normal)), checks)
+  for qi, part in enumerate(('q50', 'q975')):
+    _pred_agreement(
+        f'stream-predict/NORMAL {part}', streamed[1][qi], mem[1][qi],
+        args.rtol, np.std(np.asarray(y_normal)), checks)
 
   ok = all(c['ok'] for c in checks)
   summary = {
