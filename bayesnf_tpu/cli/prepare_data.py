@@ -19,6 +19,7 @@ anything missing.
 """
 
 import argparse
+import hashlib
 import os
 import sys
 import zipfile
@@ -43,21 +44,74 @@ def expected_files(dataset: str) -> list[str]:
   return names
 
 
-def verify_layout(data_root: str, datasets=None) -> dict[str, list[str]]:
-  """{dataset: [missing files]} for the requested (default: all) datasets."""
-  missing = {}
+def verify_layout(
+    data_root: str, datasets=None, deep: bool = False
+) -> dict[str, list[str]]:
+  """{dataset: [problems]} for the requested (default: all) datasets.
+
+  A problem is a missing file, or — with `deep` — an empty file or one
+  whose header lacks the registry's feature/target columns (catches a
+  wrong or truncated archive before a long fit does).
+  """
+  problems = {}
   for dataset in datasets or registry.runnable_datasets():
-    absent = [
-        name for name in expected_files(dataset)
-        if not os.path.exists(os.path.join(data_root, name))
-    ]
-    if absent:
-      missing[dataset] = absent
-  return missing
+    cfg = registry.dataset_config(dataset)
+    want_cols = set(cfg['feature_cols']) | {cfg['target_col']}
+    bad = []
+    for name in expected_files(dataset):
+      path = os.path.join(data_root, name)
+      if not os.path.exists(path):
+        bad.append(f'{name}: missing')
+        continue
+      if not deep:
+        continue
+      if os.path.getsize(path) == 0:
+        bad.append(f'{name}: empty file')
+        continue
+      with open(path, 'r', encoding='utf-8', errors='replace') as f:
+        header = f.readline()
+      absent_cols = [c for c in want_cols if c not in header]
+      if absent_cols:
+        bad.append(f'{name}: header lacks column(s) {absent_cols}')
+    if bad:
+      problems[dataset] = bad
+  return problems
+
+
+def record_archive_checksum() -> str | None:
+  """The Zenodo record's published checksum for datasets.zip, or None.
+
+  Queried from the record API at download time (needs network); any
+  failure degrades to None — the checksum is a defense, not a gate.
+  Zenodo checksums are 'md5:<hex>'.
+  """
+  import json
+  import urllib.request
+
+  try:
+    with urllib.request.urlopen(  # noqa: S310
+        f'https://zenodo.org/api/records/{ZENODO_RECORD}', timeout=30
+    ) as resp:
+      record = json.load(resp)
+    for entry in record.get('files', []):
+      if entry.get('key') == 'datasets.zip':
+        return entry.get('checksum')
+  except Exception as err:  # pylint: disable=broad-except
+    print(f'note: could not fetch record metadata for checksum ({err})')
+  return None
+
+
+def file_md5(path: str) -> str:
+  h = hashlib.md5()
+  with open(path, 'rb') as f:
+    for block in iter(lambda: f.read(1 << 20), b''):
+      h.update(block)
+  return h.hexdigest()
 
 
 def download(dest_zip: str) -> None:
-  """Fetch datasets.zip from Zenodo (needs network access)."""
+  """Fetch datasets.zip from Zenodo (needs network access) and verify its
+  md5 against the record's published checksum when that is retrievable."""
   import urllib.request
 
   print(f'downloading {ZENODO_URL} (DOI {DOI}) -> {dest_zip}')
@@ -69,10 +123,30 @@ def download(dest_zip: str) -> None:
         f'fetch datasets.zip from DOI {DOI} elsewhere and re-run with '
         f'--archive /path/to/datasets.zip.'
     ) from err
+  want = record_archive_checksum()
+  if want and want.startswith('md5:'):
+    got = file_md5(dest_zip)
+    if got != want[4:]:
+      raise SystemExit(
+          f'checksum mismatch for {dest_zip}: record says {want}, got '
+          f'md5:{got} — corrupt or truncated download; delete and retry.'
+      )
+    print(f'checksum ok ({want})')
 
 
-def unpack(archive: str, dest: str) -> None:
-  """Unzip, flattening any single top-level directory onto `dest`."""
+def unpack(archive: str, dest: str, flatten_known: bool = True) -> None:
+  """Unzip onto `dest`, flattening any single top-level directory.
+
+  `flatten_known` additionally recognizes expected dataset CSVs by
+  BASENAME anywhere in the archive tree and places them directly at the
+  `dest` root — tolerating archive layouts that nest the CSVs deeper
+  than one directory (the evaluate CLI reads them flat from data_root,
+  reference scripts/README:12-41).
+  """
+  known = set()
+  if flatten_known:
+    for dataset in registry.runnable_datasets():
+      known.update(expected_files(dataset))
   os.makedirs(dest, exist_ok=True)
   with zipfile.ZipFile(archive) as zf:
     names = [n for n in zf.namelist() if not n.endswith('/')]
@@ -81,6 +155,9 @@ def unpack(archive: str, dest: str) -> None:
     dest_root = os.path.realpath(dest)
     for name in names:
       rel = name.split('/', 1)[1] if strip else name
+      base = rel.replace('\\', '/').rsplit('/', 1)[-1]
+      if base in known:
+        rel = base  # place expected CSVs flat, wherever they were nested
       # Zip-slip guard: reject absolute entries and any '..' path
       # component (a mid-path '..' escapes dest just as a leading one
       # does), then double-check the resolved path stays under dest.
@@ -105,9 +182,30 @@ def main(argv=None):
                       help='pre-downloaded datasets.zip (skips the download)')
   parser.add_argument('--verify-only', action='store_true',
                       help='only check an existing --dest layout')
+  parser.add_argument('--list', action='store_true', dest='list_mode',
+                      help='print found-vs-expected per dataset and exit '
+                           '(no download, no unpack)')
+  parser.add_argument('--deep', action='store_true',
+                      help='also verify each CSV is non-empty and its '
+                           'header carries the registry columns')
   parser.add_argument('--datasets', nargs='*', default=None,
                       help='subset to verify (default: all six)')
   args = parser.parse_args(argv)
+
+  if args.list_mode:
+    any_missing = False
+    for dataset in args.datasets or registry.runnable_datasets():
+      names = expected_files(dataset)
+      found = [n for n in names if os.path.exists(
+          os.path.join(args.dest, n))]
+      absent = [n for n in names if n not in set(found)]
+      any_missing |= bool(absent)
+      print(f'{dataset}: {len(found)}/{len(names)} expected files present')
+      for n in absent[:4]:
+        print(f'  missing: {n}')
+      if len(absent) > 4:
+        print(f'  ... and {len(absent) - 4} more')
+    return 1 if any_missing else 0
 
   if not args.verify_only:
     archive = args.archive
@@ -117,11 +215,10 @@ def main(argv=None):
       download(archive)
     unpack(archive, args.dest)
 
-  missing = verify_layout(args.dest, args.datasets)
-  if missing:
-    for dataset, absent in missing.items():
-      print(f'{dataset}: MISSING {len(absent)} files '
-            f'(first: {absent[0]})')
+  problems = verify_layout(args.dest, args.datasets, deep=args.deep)
+  if problems:
+    for dataset, bad in problems.items():
+      print(f'{dataset}: {len(bad)} problem(s) (first: {bad[0]})')
     return 1
   checked = args.datasets or registry.runnable_datasets()
   print(f'ok: {", ".join(checked)} complete under {args.dest}')

@@ -241,6 +241,67 @@ class TestPrepareData:
     ])
     assert rc == 1  # only series 8 present: verification lists the rest
 
+  def test_unpack_recovers_deeply_nested_csvs(self, tmp_path):
+    # The Zenodo archive layout is unverified until the first networked
+    # run (no network here): tolerate expected CSVs nested at ANY depth —
+    # recognized by basename and placed flat at the dest root, which is
+    # where the evaluate CLI reads them (reference scripts/README:12-41).
+    import zipfile
+
+    from bayesnf_tpu.cli import prepare_data
+
+    archive = tmp_path / 'datasets.zip'
+    with zipfile.ZipFile(archive, 'w') as zf:
+      zf.writestr('data/v2/chickenpox/chickenpox.8.train.csv', 'a,b\n1,2\n')
+      zf.writestr('data/extra/readme.txt', 'notes')
+    dest = tmp_path / 'out'
+    prepare_data.unpack(str(archive), str(dest))
+    assert (dest / 'chickenpox.8.train.csv').read_text().startswith('a,b')
+    # Non-dataset files keep their (root-stripped) relative placement.
+    assert (dest / 'extra' / 'readme.txt').exists()
+
+  def test_list_mode_reports_found_vs_expected(self, tmp_path, capsys):
+    from bayesnf_tpu.cli import prepare_data
+
+    (tmp_path / 'chickenpox.8.train.csv').write_text('stub')
+    rc = prepare_data.main(
+        ['--list', '--dest', str(tmp_path), '--datasets', 'chickenpox']
+    )
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert 'chickenpox: 1/' in out
+    assert 'missing:' in out
+
+  def test_deep_verify_catches_empty_and_wrong_header(self, tmp_path):
+    from bayesnf_tpu.cli import prepare_data
+
+    cfg = registry.dataset_config('chickenpox')
+    header = ','.join(cfg['feature_cols'] + [cfg['target_col']])
+    for name in prepare_data.expected_files('chickenpox'):
+      (tmp_path / name).write_text(header + '\n1,2,3,4\n')
+    assert prepare_data.verify_layout(
+        str(tmp_path), ['chickenpox'], deep=True
+    ) == {}
+    # An empty file and a wrong-header file are both flagged.
+    (tmp_path / 'chickenpox.0.train.csv').write_text('')
+    (tmp_path / 'chickenpox.1.train.csv').write_text('x,y\n1,2\n')
+    problems = prepare_data.verify_layout(
+        str(tmp_path), ['chickenpox'], deep=True
+    )['chickenpox']
+    assert any('empty' in p for p in problems)
+    assert any('header lacks' in p for p in problems)
+
+  def test_file_md5_matches_hashlib(self, tmp_path):
+    import hashlib
+
+    from bayesnf_tpu.cli import prepare_data
+
+    p = tmp_path / 'blob.bin'
+    p.write_bytes(b'bayesnf' * 1000)
+    assert prepare_data.file_md5(str(p)) == hashlib.md5(
+        b'bayesnf' * 1000
+    ).hexdigest()
+
   def test_unpack_rejects_zip_slip_entries(self, tmp_path):
     import zipfile
 
