@@ -528,6 +528,7 @@ def _make_stream_train_fn(
     tile: int | None = None,
     subtiles: int = 1,
     kernel: str = 'pallas',
+    member_remix: bool = False,
 ):
   """One slice of the host-streaming training loop as a jitted program.
 
@@ -537,6 +538,18 @@ def _make_stream_train_fn(
   dimension sharded over the mesh's 'data' axis; params/optimizer state
   shard over 'ens' and are donated, so steady-state HBM holds the model
   state plus the slice buffers in flight — never the dataset.
+
+  `member_remix` decorrelates the members' SGD noise at ZERO extra
+  host->device traffic: the program takes one extra raw-key argument and
+  each member repartitions the slice's S x B transferred rows into its
+  OWN S batches (a per-member device-side permutation of the resident
+  pool). Every member still consumes every transferred row exactly once
+  per slice — only batch composition differs — restoring the reference's
+  per-member gradient-noise independence (inference.py:593-597) at the
+  remix-window (= slice) granularity. With remix the slice size is
+  SEMANTIC (it is the remix window), so the slice-size bit-invariance of
+  the default scheme deliberately does not hold; measured ensemble
+  statistics in PARITY.md.
   """
   data_shards = mesh.shape[mesh_lib.DATA_AXIS]
   if batch_size % data_shards:
@@ -566,7 +579,7 @@ def _make_stream_train_fn(
       data_shards=data_shards,
   )
 
-  def shard_train_slice(params_b, opt_b, aug_s, y_s):
+  def shard_train_slice(params_b, opt_b, aug_s, y_s, *maybe_key):
     # aug_s: (S, F, local_batch), y_s: (S, local_batch) — every batch row
     # is a real row (the host stream never pads), so no validity mask.
     def one_step(carry, batch):
@@ -577,9 +590,40 @@ def _make_stream_train_fn(
       params_b = optax.apply_updates(params_b, updates)
       return (tuple(params_b), opt_b), losses
 
-    (params_b, opt_b), losses = jax.lax.scan(
-        one_step, (params_b, opt_b), (aug_s, y_s)
-    )
+    if member_remix:
+      # Per-member repartition of the slice pool. Pool = this shard's
+      # S x B_local transferred rows (features-major, so the reshape is a
+      # view); member m's step-s batch = rows perm_m[s B : (s+1) B] of the
+      # pool. Keys derive from (slice key, GLOBAL member id) so results
+      # are independent of the ens-axis sharding; the per-step gather is
+      # (E_local, F, B_local) — transient, never E x slice resident.
+      s, f_dim, b = aug_s.shape
+      pool_aug = jnp.moveaxis(aug_s, 0, 1).reshape(f_dim, s * b)
+      pool_y = y_s.reshape(s * b)
+      e_local = params_b[0].shape[0]
+      member_ids = (
+          jax.lax.axis_index(mesh_lib.ENSEMBLE_AXIS) * e_local
+          + jnp.arange(e_local)
+      )
+      slice_key = jax.random.wrap_key_data(maybe_key[0])
+      perms = jax.vmap(
+          lambda m: jax.random.permutation(
+              jax.random.fold_in(slice_key, m), s * b
+          )
+      )(member_ids)  # (E_local, S*B)
+      idx_s = jnp.moveaxis(perms.reshape(e_local, s, b), 1, 0)  # (S, E, B)
+
+      def remix_step(carry, idx_b):
+        aug_b = jnp.moveaxis(pool_aug[:, idx_b], 0, 1)  # (E, F, B)
+        return one_step(carry, (aug_b, pool_y[idx_b]))
+
+      (params_b, opt_b), losses = jax.lax.scan(
+          remix_step, (params_b, opt_b), idx_s
+      )
+    else:
+      (params_b, opt_b), losses = jax.lax.scan(
+          one_step, (params_b, opt_b), (aug_s, y_s)
+      )
     # losses: (S, E_local) -> (E_local, S)
     return params_b, opt_b, losses.T
 
@@ -587,6 +631,7 @@ def _make_stream_train_fn(
   p_ens = jax.sharding.PartitionSpec(mesh_lib.ENSEMBLE_AXIS)
   p_slice_t = jax.sharding.PartitionSpec(None, None, mesh_lib.DATA_AXIS)
   p_slice = jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
+  p_rep = jax.sharding.PartitionSpec()
   params_spec = (p_ens,) * num_leaves
   opt_spec = jax.tree_util.tree_map(
       lambda _: p_ens,
@@ -594,10 +639,13 @@ def _make_stream_train_fn(
           tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config))
       ),
   )
+  in_specs = (params_spec, opt_spec, p_slice_t, p_slice)
+  if member_remix:
+    in_specs = in_specs + (p_rep,)
   sharded = jax.shard_map(
       shard_train_slice,
       mesh=mesh,
-      in_specs=(params_spec, opt_spec, p_slice_t, p_slice),
+      in_specs=in_specs,
       out_specs=(params_spec, opt_spec, p_ens),
       # Pallas out_shapes carry no varying-mesh-axes metadata; skip the check.
       check_vma=False,
@@ -622,6 +670,7 @@ def ensemble_map(
     precision: str = 'f32',
     backend: str = 'auto',
     stream_chunk_steps: int | None = None,
+    stream_member_remix: bool = False,
 ) -> tuple[tuple, jax.Array]:
   """Train `ensemble_size` independent MAP/MLE members on one mesh.
 
@@ -664,6 +713,13 @@ def ensemble_map(
       regime for datasets larger than (aggregate) HBM. Uses one shared
       per-epoch permutation across members, deterministic in (seed,
       epoch) — a documented RNG deviation; see `parallel/streaming.py`.
+    stream_member_remix: (streaming only) each member repartitions every
+      transferred slice's rows into its OWN batches on device —
+      per-member SGD-noise decorrelation (the property the shared stream
+      gives up; measured in PARITY.md) at zero extra host->device
+      traffic. Makes `stream_chunk_steps` semantic (it is the remix
+      window): slice-size bit-invariance does not hold, and checkpoint
+      chunks must align to whole slices (validated).
 
   Returns:
     (params, losses): params is the flat tuple with leading member axis
@@ -694,6 +750,12 @@ def ensemble_map(
           f'batch_size % data_shards == 0 (got {batch_size=}, '
           f'{data_shards=}): each slice batch splits evenly over shards.'
       )
+  elif stream_member_remix:
+    raise ValueError(
+        'stream_member_remix applies to host-streaming fits only '
+        '(set stream_chunk_steps); on-device minibatch training already '
+        'permutes per member.'
+    )
   auto_resolved = backend == 'auto'
   backend = backends.resolve_backend(
       backend,
@@ -779,6 +841,16 @@ def ensemble_map(
             # scheme than on-device training — resuming one under the
             # other would silently change every subsequent batch.
             stream=streaming,
+            # With member remix the slice size is the remix WINDOW — a
+            # semantic quantity a resume must not change (the shared
+            # scheme's slice size is pure transfer granularity and stays
+            # out of the fingerprint).
+            stream_remix=bool(streaming and stream_member_remix),
+            stream_remix_window=(
+                int(stream_chunk_steps)
+                if streaming and stream_member_remix
+                else None
+            ),
         ),
     )
     restored = checkpointer.restore_latest()
@@ -878,6 +950,24 @@ def ensemble_map(
     stream = streaming_lib.HostBatchStream(
         aug_host_t, target_host, int(batch_size), opt_seed
     )
+    if stream_member_remix and checkpointer is not None:
+      ckpt_steps = checkpoint_every * num_batches
+      if ckpt_steps % int(stream_chunk_steps):
+        raise ValueError(
+            'stream_member_remix makes stream_chunk_steps the remix '
+            'window: checkpoint chunks must cover whole windows so a '
+            'resume replays identical batches (got checkpoint chunk of '
+            f'{ckpt_steps} steps, window {int(stream_chunk_steps)}). '
+            'Pick checkpoint_every/batch_size so '
+            'checkpoint_every * (N // batch_size) is a multiple of '
+            'stream_chunk_steps.'
+        )
+    remix_key = jax.random.fold_in(opt_seed, 0x5EED)
+
+    def slice_extra_fn(slice_step):
+      return np.asarray(
+          jax.random.key_data(jax.random.fold_in(remix_key, slice_step))
+      )
 
     def make_stream_fn(slice_steps, kernel):
       if kernel not in ('pallas', 'xla'):
@@ -900,6 +990,7 @@ def ensemble_map(
           precision,
           subtiles=subtiles,
           kernel=kernel,
+          member_remix=bool(stream_member_remix),
       )
 
     def on_chunk(state, losses_c, steps_done):
@@ -945,6 +1036,7 @@ def ensemble_map(
             None if checkpointer is None else checkpoint_every * num_batches
         ),
         on_chunk=on_chunk,
+        slice_extra_fn=slice_extra_fn if stream_member_remix else None,
     )
     epoch = num_epochs  # the non-streaming loop below is a no-op
 
@@ -1038,6 +1130,7 @@ def fit_map(
     precision: str = 'f32',
     backend: str = 'auto',
     stream_chunk_steps: int | None = None,
+    stream_member_remix: bool = False,
 ) -> tuple[tuple, np.ndarray]:
   """Fit a MAP/MLE ensemble, optionally in sequential memory-bounded splits.
 
@@ -1079,6 +1172,7 @@ def fit_map(
         precision=precision,
         backend=backend,
         stream_chunk_steps=stream_chunk_steps,
+        stream_member_remix=stream_member_remix,
     )
     params_splits.append(jax.tree_util.tree_map(np.array, params_i))
     losses_splits.append(np.array(losses_i))

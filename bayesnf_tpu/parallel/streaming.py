@@ -177,6 +177,7 @@ def run_stream_driver(
     slice_steps: int,
     checkpoint_steps: int | None,
     on_chunk,
+    slice_extra_fn=None,
 ):
   """The host-side streaming train loop, shared by the MAP and VI trainers.
 
@@ -210,6 +211,10 @@ def run_stream_driver(
     on_chunk: (state, losses, steps_done) called after each chunk with the
       chunk's host-side loss history (trailing axis = chunk steps) —
       checkpointing and loss bookkeeping live in the trainer.
+    slice_extra_fn: optional `(slice_start_step) -> host array` appended
+      (replicated over the mesh) as a final argument to each slice-program
+      call — the member-remix scheme passes its per-slice raw key this
+      way. Deterministic in the step, so resume replay holds.
 
   Returns:
     (state, backend): final state and the kernel actually used.
@@ -226,6 +231,9 @@ def run_stream_driver(
   y_spec = jax.sharding.NamedSharding(
       mesh, jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
   )
+  rep_spec = jax.sharding.NamedSharding(
+      mesh, jax.sharding.PartitionSpec()
+  )
   n_state = len(state)
   probe_fn = None
   probe_key = None
@@ -237,19 +245,29 @@ def run_stream_driver(
         else min(checkpoint_steps, num_steps - step)
     )
     chunk_losses = []
-    for _, aug_np, y_np in stream.slices(step, chunk, slice_steps):
+    for slice_step, aug_np, y_np in stream.slices(step, chunk, slice_steps):
       if multiproc:
         aug_dev = dist_lib.make_global(aug_np, aug_spec)
         y_dev = dist_lib.make_global(y_np, y_spec)
       else:
         aug_dev = jax.device_put(aug_np, aug_spec)
         y_dev = jax.device_put(y_np, y_spec)
+      extra = ()
+      if slice_extra_fn is not None:
+        extra_np = np.asarray(slice_extra_fn(slice_step))
+        extra = (
+            dist_lib.make_global(extra_np, rep_spec)
+            if multiproc
+            else jax.device_put(extra_np, rep_spec),
+        )
       s = int(aug_np.shape[0])
       if auto_resolved and backend == 'pallas':
         probe_key = (s, probe_key_extra())
         try:
           probe_fn = (
-              make_fn(s, backend).lower(*state, aug_dev, y_dev).compile()
+              make_fn(s, backend)
+              .lower(*state, aug_dev, y_dev, *extra)
+              .compile()
           )
           fn = probe_fn
         except Exception as err:  # pylint: disable=broad-except
@@ -262,7 +280,7 @@ def run_stream_driver(
         fn = probe_fn
       else:
         fn = make_fn(s, backend)
-      out = fn(*state, aug_dev, y_dev)
+      out = fn(*state, aug_dev, y_dev, *extra)
       state, losses_s = tuple(out[:n_state]), out[n_state]
       chunk_losses.append(losses_s)
       if len(chunk_losses) > 1:
