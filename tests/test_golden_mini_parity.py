@@ -92,15 +92,23 @@ def test_mini_golden_per_row(tmp_path, objective):
     # small member-variance term; 2% absorbs the RNG-dependent part.
     np.testing.assert_allclose(o_width, g_width, rtol=0.02)
   else:
-    # VI: our protocol yields mean width 4.3-4.6 across seeds (tight
-    # per-seed spread ~0.1); the golden's 5.13 implies the surrogate
-    # noise scale was slightly wider when it was generated — consistent
-    # with version drift in the upstream defaults (upstream disables its
-    # own exact-equality checks for precisely this reason,
-    # test_evaluate_mini.py:58). Assert the same ballpark: the current
-    # upstream init (scale 0.3, sigma = 0.01 + e^z) bounds the mixture
-    # width to roughly [3.5, 6.5] for any draw realization.
-    assert 3.5 < o_width.mean() < 6.5, o_width.mean()
+    # VI: the width is pinned by the reference's surrogate INIT scheme
+    # (inference.py:203-231): log-noise surrogate = Normal(0, s) with
+    # s = 1e-4 + softplus(softplus^-1(0.3)) = 0.3001, predictive noise
+    # sigma(z) = 0.01 + e^z. With near-zero init predictions the 95%
+    # mixture width is the derived constant
+    #   w0 = 2 q*,  E_{z~N(0,s)} Phi(q*/sigma(z)) = 0.975  =>  w0 = 4.455
+    # (Gauss-Hermite quadrature + root-find; derivation in PARITY.md).
+    # Two Adam steps at lr 0.01 move the surrogate loc/scale by at most
+    # ~0.02 (w0 in [4.37, 4.54]); the per-draw prediction spread adds a
+    # small positive term (measured +0.0-0.1 at this protocol). Assert
+    # the derived constant with those margins — far tighter than the old
+    # [3.5, 6.5] window. The golden's 5.13 reflects upstream version
+    # drift in the init defaults (upstream disables its own
+    # exact-equality checks for this reason, test_evaluate_mini.py:58),
+    # so the golden stays a secondary same-ballpark check.
+    w0 = 4.455
+    assert 0.93 * w0 < o_width.mean() < 1.12 * w0, (o_width.mean(), w0)
     assert abs(o_width.mean() - g_width.mean()) / g_width.mean() < 0.3, (
         o_width.mean(), g_width.mean())
 
