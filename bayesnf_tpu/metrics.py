@@ -14,7 +14,7 @@ vectorized and jit-friendly, operating on plain arrays:
 
 import math
 
-import jax
+
 import jax.numpy as jnp
 from jax.scipy import special as jsp_special
 

@@ -10,7 +10,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bayesnf_tpu.models import features as feat_lib
 from bayesnf_tpu.models import field as field_lib
 
 

@@ -3,7 +3,6 @@
 Runs in Pallas interpreter mode on CPU; the same kernels compile on TPU.
 """
 
-import math
 import os
 
 import numpy as np

@@ -3,11 +3,9 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 import scipy.stats
 
 from bayesnf_tpu.models import distributions as dist_lib
-from bayesnf_tpu.models import field as field_lib
 from bayesnf_tpu.models import likelihoods
 from bayesnf_tpu.ops import special
 

@@ -15,7 +15,6 @@ from bayesnf_tpu.inference import map as map_lib
 from bayesnf_tpu.models import field as field_lib
 from bayesnf_tpu.models import likelihoods
 from bayesnf_tpu.parallel import distributed
-from bayesnf_tpu.parallel import mesh as mesh_lib
 
 
 def test_config5_rehearsal(tmp_path):
