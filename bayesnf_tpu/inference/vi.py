@@ -524,6 +524,7 @@ def _make_stream_vi_fn(
     tile: int | None = None,
     subtiles: int = 1,
     kernel: str = 'pallas',
+    member_remix: bool = False,
 ):
   """One slice of the host-streaming VI loop as a jitted program.
 
@@ -533,6 +534,11 @@ def _make_stream_vi_fn(
   in full-batch training), batch rows sharded over 'data'. Device RNG is
   only used for the reparametrized draws — the minibatch sequence comes
   from the host stream (`parallel/streaming.py`, per-step resample).
+
+  `member_remix`: same scheme as the MAP stream trainer — one extra
+  raw-key argument, each member repartitions the slice's S x B rows into
+  its own batches on device (per-member SGD-noise decorrelation at zero
+  extra transfer; the slice size becomes the semantic remix window).
   """
   data_shards = mesh.shape[mesh_lib.DATA_AXIS]
   if batch_size % data_shards:
@@ -562,7 +568,7 @@ def _make_stream_vi_fn(
       data_shards=data_shards,
   )
 
-  def shard_fit_slice(surrogate, opt_state, keys, aug_s, y_s):
+  def shard_fit_slice(surrogate, opt_state, keys, aug_s, y_s, *maybe_key):
     def one_step(carry, batch):
       surrogate, opt_state, keys = carry
       aug_bt, y_b = batch
@@ -586,9 +592,36 @@ def _make_stream_vi_fn(
       surrogate = optax.apply_updates(surrogate, updates)
       return (surrogate, opt_state, keys), losses
 
-    (surrogate, opt_state, keys), losses = jax.lax.scan(
-        one_step, (surrogate, opt_state, keys), (aug_s, y_s)
-    )
+    if member_remix:
+      # Per-member repartition of the slice pool (same scheme/comments as
+      # inference/map.py:_make_stream_train_fn).
+      s, f_dim, b = aug_s.shape
+      pool_aug = jnp.moveaxis(aug_s, 0, 1).reshape(f_dim, s * b)
+      pool_y = y_s.reshape(s * b)
+      e_local = surrogate[0][0].shape[0]
+      member_ids = (
+          jax.lax.axis_index(mesh_lib.ENSEMBLE_AXIS) * e_local
+          + jnp.arange(e_local)
+      )
+      slice_key = jax.random.wrap_key_data(maybe_key[0])
+      perms = jax.vmap(
+          lambda m: jax.random.permutation(
+              jax.random.fold_in(slice_key, m), s * b
+          )
+      )(member_ids)
+      idx_s = jnp.moveaxis(perms.reshape(e_local, s, b), 1, 0)  # (S, E, B)
+
+      def remix_step(carry, idx_b):
+        aug_b = jnp.moveaxis(pool_aug[:, idx_b], 0, 1)  # (E, F, B)
+        return one_step(carry, (aug_b, pool_y[idx_b]))
+
+      (surrogate, opt_state, keys), losses = jax.lax.scan(
+          remix_step, (surrogate, opt_state, keys), idx_s
+      )
+    else:
+      (surrogate, opt_state, keys), losses = jax.lax.scan(
+          one_step, (surrogate, opt_state, keys), (aug_s, y_s)
+      )
     # (S, E_local) -> (E_local, S), x kl_weight as in the reference's
     # returned history (inference.py:755-758).
     return surrogate, opt_state, keys, losses.T * kl_weight
@@ -606,10 +639,13 @@ def _make_stream_vi_fn(
           tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
       )),
   )
+  in_specs = (surr_spec, opt_spec, p_ens, p_slice_t, p_slice)
+  if member_remix:
+    in_specs = in_specs + (jax.sharding.PartitionSpec(),)
   sharded = jax.shard_map(
       shard_fit_slice,
       mesh=mesh,
-      in_specs=(surr_spec, opt_spec, p_ens, p_slice_t, p_slice),
+      in_specs=in_specs,
       out_specs=(surr_spec, opt_spec, p_ens, p_ens),
       check_vma=False,
   )
@@ -656,6 +692,7 @@ def fit_vi(
     precision: str = 'f32',
     backend: str = 'auto',
     stream_chunk_steps: int | None = None,
+    stream_member_remix: bool = False,
 ):
   """Fit an ensemble of mean-field surrogate posteriors.
 
@@ -696,6 +733,12 @@ def fit_vi(
       permutation prefix, the reference's VI semantics) but SHARED across
       members, deterministically in (seed, step) — a documented RNG
       deviation; see `parallel/streaming.py`.
+    stream_member_remix: (streaming only) each member repartitions every
+      transferred slice's rows into its own batches on device — per-member
+      SGD-noise decorrelation at zero extra transfer (scheme and measured
+      effect: inference/map.py + PARITY.md). Makes `stream_chunk_steps`
+      the semantic remix window (checkpoint chunks must cover whole
+      windows; validated).
 
   Returns:
     (surrogate, losses, draws):
@@ -728,6 +771,12 @@ def fit_vi(
           f'batch_size % data_shards == 0 (got {batch_size=}, '
           f'{data_shards=}): each slice batch splits evenly over shards.'
       )
+  elif stream_member_remix:
+    raise ValueError(
+        'stream_member_remix applies to host-streaming fits only '
+        '(set stream_chunk_steps); on-device minibatch VI already '
+        'resamples per member.'
+    )
   auto_resolved = backend == 'auto'
   backend = backends.resolve_backend(
       backend,
@@ -795,6 +844,14 @@ def fit_vi(
             # Streaming uses the shared host-side batch scheme — resuming
             # one scheme under the other would silently change batches.
             stream=streaming,
+            # With member remix the slice size is the remix window (see
+            # inference/map.py).
+            stream_remix=bool(streaming and stream_member_remix),
+            stream_remix_window=(
+                int(stream_chunk_steps)
+                if streaming and stream_member_remix
+                else None
+            ),
         ),
     )
     restored = checkpointer.restore_latest()
@@ -895,6 +952,20 @@ def fit_vi(
         aug_host_t, target_host, int(batch_size), opt_seed,
         per_step_resample=True,
     )
+    if stream_member_remix and checkpointer is not None:
+      if checkpoint_every % int(stream_chunk_steps):
+        raise ValueError(
+            'stream_member_remix makes stream_chunk_steps the remix '
+            'window: checkpoint chunks must cover whole windows so a '
+            'resume replays identical batches (got checkpoint chunk of '
+            f'{checkpoint_every} steps, window {int(stream_chunk_steps)}).'
+        )
+    remix_key = jax.random.fold_in(opt_seed, 0x5EED)
+
+    def slice_extra_fn(slice_step):
+      return np.asarray(
+          jax.random.key_data(jax.random.fold_in(remix_key, slice_step))
+      )
 
     def make_stream_fn(slice_steps, kernel):
       if kernel not in ('pallas', 'xla'):
@@ -918,6 +989,7 @@ def fit_vi(
           precision,
           subtiles=subtiles,
           kernel=kernel,
+          member_remix=bool(stream_member_remix),
       )
 
     def on_chunk(state, losses_c, steps_done):
@@ -960,6 +1032,7 @@ def fit_vi(
                 None if checkpointer is None else checkpoint_every
             ),
             on_chunk=on_chunk,
+            slice_extra_fn=slice_extra_fn if stream_member_remix else None,
         )
     )
     step = num_steps  # the non-streaming loop below is a no-op

@@ -599,6 +599,7 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
       precision='f32',
       backend='auto',
       stream_chunk_steps=None,
+      stream_member_remix=False,
   ) -> BayesianNeuralFieldEstimator:
     """Run stochastic ensemble variational inference.
 
@@ -629,6 +630,10 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
         regime for datasets larger than device memory. Batches are drawn
         per step (reference VI semantics) but shared across members (a
         documented RNG deviation; see `parallel/streaming.py`).
+      stream_member_remix: (streaming only) per-member device-side
+        repartitioning of each transferred slice — restores per-member
+        SGD-noise decorrelation at zero extra transfer; see
+        :class:`BayesianNeuralFieldMAP` and PARITY.md.
 
     Returns:
       self.
@@ -673,6 +678,7 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
         precision=precision,
         backend=backend,
         stream_chunk_steps=stream_chunk_steps,
+        stream_member_remix=stream_member_remix,
     )
     self.surrogate_ = jax.tree_util.tree_map(np.array, surrogate)
     g, m = _group_shape(ensemble_size, mesh)

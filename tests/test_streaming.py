@@ -265,6 +265,32 @@ class TestVIStreaming:
     with pytest.raises(ValueError, match='minibatch'):
       self._run_vi(config, aug, y, batch_size=None, stream_chunk_steps=2)
 
+  def test_member_remix_differs_and_resumes_bit_exact(self, tmp_path):
+    config, aug, y = _setup(n=40)
+    kwargs = dict(stream_chunk_steps=2, stream_member_remix=True)
+    s_shared, l_shared, _ = self._run_vi(config, aug, y, stream_chunk_steps=2)
+    s_ref, l_ref, _ = self._run_vi(config, aug, y, **kwargs)
+    assert np.all(np.isfinite(np.asarray(l_ref)))
+    assert not np.array_equal(np.asarray(l_shared), np.asarray(l_ref))
+    # Checkpoint resume replays identical remix windows (6 steps total,
+    # checkpoint chunks of 2 steps = 1 window each).
+    ckdir = str(tmp_path / 'ck')
+    self._run_vi(
+        config, aug, y, num_epochs=4, checkpoint_dir=ckdir,
+        checkpoint_every=2, **kwargs,
+    )
+    s_res, l_res, _ = self._run_vi(
+        config, aug, y, checkpoint_dir=ckdir, checkpoint_every=2, **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_res))
+    for a, b in zip(s_ref[0] + s_ref[1], s_res[0] + s_res[1]):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_member_remix_requires_streaming(self):
+    config, aug, y = _setup(n=40)
+    with pytest.raises(ValueError, match='host-streaming'):
+      self._run_vi(config, aug, y, stream_member_remix=True)
+
   def test_estimator_fit_smoke(self):
     from bayesnf_tpu.spatiotemporal import BayesianNeuralFieldVI
 
