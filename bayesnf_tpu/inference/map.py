@@ -772,11 +772,20 @@ def ensemble_map(
   log_noise_init = np.log(target_scale / 2.0)
 
   init_keys = jax.random.split(init_seed, padded)
-  init_fn = functools.partial(
-      field_lib.init_params, config, log_noise_scale_init=log_noise_init
-  )
-  params = jax.vmap(lambda k: init_fn(k))(init_keys)
-  opt_state = init_opt_state(config, learning_rate, params)
+  # ONE jitted program for the whole ensemble init (params + Adam state).
+  # Eagerly, this setup used to execute ~60 primitive-sized programs —
+  # harmless on a PCIe host, but on a remote-service transport each tiny
+  # compile costs ~0.5 s of round-trip, turning setup into half the cold
+  # first-fit wall time (measured; docs/roadmap.md item 3).
+  def init_all(keys):
+    params = jax.vmap(
+        lambda k: field_lib.init_params(
+            config, k, log_noise_scale_init=log_noise_init
+        )
+    )(keys)
+    return params, init_opt_state(config, learning_rate, params)
+
+  params, opt_state = jax.jit(init_all)(init_keys)
   member_keys = jax.random.split(opt_seed, padded)
 
   if streaming:

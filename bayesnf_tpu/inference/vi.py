@@ -790,8 +790,15 @@ def fit_vi(
   padded = mesh_lib.pad_ensemble_size(ensemble_size, mesh)
   init_seed, opt_seed = jax.random.split(seed, 2)
   init_keys = jax.random.split(init_seed, padded)
-  surrogate = jax.vmap(lambda k: init_surrogate(config, k))(init_keys)
-  opt_state = init_vi_opt_state(learning_rate, surrogate)
+
+  # ONE jitted program for the whole surrogate init (locs/scales + Adam
+  # state): on a remote-service transport, op-by-op setup compiles cost
+  # ~0.5 s each (see inference/map.py and docs/roadmap.md item 3).
+  def init_all(keys):
+    surrogate = jax.vmap(lambda k: init_surrogate(config, k))(keys)
+    return surrogate, init_vi_opt_state(learning_rate, surrogate)
+
+  surrogate, opt_state = jax.jit(init_all)(init_keys)
   member_keys = jax.random.split(opt_seed, padded)
 
   if streaming:

@@ -28,6 +28,7 @@ Model structure (per member), matching reference models.py:213-273:
   act(x)   = sigmoid(w)*elu(x) + (1-sigmoid(w))*tanh(x), learned logit w.
 """
 
+import functools
 import dataclasses
 from typing import NamedTuple
 
@@ -361,6 +362,22 @@ def seasonal_features_for(config: FieldConfig, x: jax.Array) -> jax.Array:
       np.asarray(config.seasonal_harmonics),
       rescale=True,
   )
+
+
+@functools.partial(jax.jit, static_argnames=('config',))
+def _aug_features_jit(config, x):
+  return jnp.concatenate([x, seasonal_features_for(config, x)], axis=-1)
+
+
+def aug_features_device(config: FieldConfig, x) -> jax.Array:
+  """`[x | seasonal features]` as ONE jitted device program.
+
+  The eager composition (sin/cos/scale/concat primitive by primitive)
+  costs a dozen separate compilations; on a remote-service transport each
+  tiny compile is ~0.5 s of round-trip, so fit-time setup uses this
+  single program instead (docs/roadmap.md item 3 measurements).
+  """
+  return _aug_features_jit(config, jnp.asarray(x, dtype=jnp.float32))
 
 
 def aug_features_host(

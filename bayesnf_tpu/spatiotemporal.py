@@ -539,9 +539,9 @@ class BayesianNeuralFieldMAP(BayesianNeuralFieldEstimator):
       # device (seasonal features are computed in bounded device blocks).
       aug = field_lib.aug_features_host(config, train_data)
     else:
-      train_data = jnp.asarray(train_data, dtype=jnp.float32)
-      seasonal = field_lib.seasonal_features_for(config, train_data)
-      aug = jnp.concatenate([train_data, seasonal], axis=-1)
+      # One jitted program for the encode (op-by-op setup compiles cost
+      # ~0.5 s each on a remote-service transport; see field.py).
+      aug = field_lib.aug_features_device(config, train_data)
 
     params, losses = map_lib.fit_map(
         aug,
@@ -655,9 +655,7 @@ class BayesianNeuralFieldVI(BayesianNeuralFieldEstimator):
       # Host-resident assembly (see BayesianNeuralFieldMAP.fit).
       aug = field_lib.aug_features_host(config, train_data)
     else:
-      train_data = jnp.asarray(train_data, dtype=jnp.float32)
-      seasonal = field_lib.seasonal_features_for(config, train_data)
-      aug = jnp.concatenate([train_data, seasonal], axis=-1)
+      aug = field_lib.aug_features_device(config, train_data)
 
     surrogate, losses, draws = vi_lib.fit_vi(
         aug,
