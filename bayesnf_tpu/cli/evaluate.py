@@ -83,7 +83,9 @@ def run_experiment(
       batch_size=inference_config.get('batch_size'),
       ensemble_size=inference_config['num_particles'],
   )
-  for key in ('backend', 'precision'):
+  for key in (
+      'backend', 'precision', 'stream_chunk_steps', 'stream_member_remix'
+  ):
     if key in inference_config:
       fit_kwargs[key] = inference_config[key]
   if inference_config.get('data_devices'):
@@ -222,6 +224,27 @@ def main(argv=None):
       help="Devices on the mesh's 'data' axis (rows sharded; the rest go "
       "to 'ens'). Default: all devices on 'ens'.",
   )
+  parser.add_argument(
+      '--num_epochs', type=int, default=None,
+      help='Override the registry epoch budget (smoke runs, streamed runs).',
+  )
+  parser.add_argument(
+      '--batch_size', type=int, default=None,
+      help='Override the registry batch size (required for '
+      '--stream_chunk_steps when the published config is full-batch).',
+  )
+  parser.add_argument(
+      '--stream_chunk_steps', type=int, default=None,
+      help='Host-streaming training: keep the dataset in host RAM and '
+      'stream batches in slices of this many SGD steps (requires the '
+      "config's batch_size < rows) — for datasets larger than HBM.",
+  )
+  parser.add_argument(
+      '--stream_member_remix', action='store_true',
+      help='With --stream_chunk_steps: per-member device-side slice '
+      'repartitioning (per-member SGD-noise decorrelation at zero extra '
+      'transfer; see PARITY.md §2b).',
+  )
   args = parser.parse_args(argv)
 
   data_cfg = registry.dataset_config(args.dataset)
@@ -236,6 +259,14 @@ def main(argv=None):
       inference['precision'] = args.precision
     if args.data_devices:
       inference['data_devices'] = args.data_devices
+    if args.num_epochs:
+      inference['num_epochs'] = args.num_epochs
+    if args.batch_size:
+      inference['batch_size'] = args.batch_size
+    if args.stream_chunk_steps:
+      inference['stream_chunk_steps'] = args.stream_chunk_steps
+      if args.stream_member_remix:
+        inference['stream_member_remix'] = True
     sid = data_cfg['series_id_fmt'](series_id)
     print(f'{args.dataset} series {sid} ({args.objective})')
     run_experiment(

@@ -381,7 +381,7 @@ def aug_features_device(config: FieldConfig, x) -> jax.Array:
 
 
 def aug_features_host(
-    config: FieldConfig, x, block_rows: int = 1 << 20
+    config: FieldConfig, x, block_rows: int = 1 << 20, out=None
 ) -> np.ndarray:
   """Host (numpy) `[x | seasonal features]`, assembled in bounded blocks.
 
@@ -389,11 +389,22 @@ def aug_features_host(
   matrix must never exist as one device array; seasonal features are
   computed `block_rows` rows at a time on the default device (exactly the
   math of `seasonal_features_for`) and written into a host buffer.
+
+  `out`: optional preallocated float32 (N, D + 2F) destination — pass a
+  `np.memmap` to assemble the augmented matrix ON DISK for datasets
+  larger than host RAM (the streaming trainers gather batch rows from it
+  directly; `x` itself may also be a memmap).
   """
-  x = np.asarray(x, dtype=np.float32)
+  x = np.asarray(x, dtype=np.float32) if not isinstance(x, np.memmap) else x
   n, d = x.shape
   f2 = 2 * len(tuple(np.asarray(config.seasonal_frequencies).reshape(-1)))
-  out = np.empty((n, d + f2), dtype=np.float32)
+  if out is None:
+    out = np.empty((n, d + f2), dtype=np.float32)
+  elif out.shape != (n, d + f2) or out.dtype != np.float32:
+    raise ValueError(
+        f'out must be float32 of shape {(n, d + f2)}; got '
+        f'{out.dtype} {out.shape}.'
+    )
   out[:, :d] = x
   for lo in range(0, n, block_rows):
     blk = x[lo : lo + block_rows]

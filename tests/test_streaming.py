@@ -318,6 +318,41 @@ class TestVIStreaming:
     assert np.isfinite(np.asarray(means)).all()
 
 
+class TestMemmapStreaming:
+
+  def test_memmap_dataset_matches_ram_bitwise(self, tmp_path):
+    # The larger-than-RAM regime: the augmented matrix lives in a disk
+    # memmap (assembled in place by aug_features_host(out=...)), and the
+    # streamed fit gathers batch rows straight from it — results must be
+    # bit-identical to the in-RAM streamed fit.
+    config, aug, y = _setup()
+    mm = np.memmap(
+        str(tmp_path / 'aug.f32'), dtype=np.float32, mode='w+',
+        shape=aug.shape,
+    )
+    rng = np.random.default_rng(1)
+    x = np.stack(
+        [np.arange(50, dtype=np.float32),
+         rng.normal(size=50).astype(np.float32)], -1,
+    )
+    out = field_lib.aug_features_host(config, x, out=mm)
+    assert out is mm
+    np.testing.assert_array_equal(np.asarray(mm), aug)
+    p_ram, l_ram = _run(config, aug, y, stream_chunk_steps=3)
+    p_mm, l_mm = _run(config, mm, y, stream_chunk_steps=3)
+    np.testing.assert_array_equal(np.asarray(l_ram), np.asarray(l_mm))
+    for a, b in zip(p_ram, p_mm):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_out_shape_validation(self):
+    config, aug, _ = _setup(n=10)
+    bad = np.empty((10, aug.shape[1] + 1), dtype=np.float32)
+    with pytest.raises(ValueError, match='out must be float32'):
+      field_lib.aug_features_host(
+          config, aug[:, :2], out=bad
+      )
+
+
 class TestMemberRemix:
   """stream_member_remix: per-member device-side slice repartitioning."""
 
