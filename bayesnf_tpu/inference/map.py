@@ -216,6 +216,30 @@ def init_opt_state(config, learning_rate, params):
   return jax.vmap(optax.adam(learning_rate).init)(tuple(params))
 
 
+@functools.lru_cache(maxsize=32)
+def _make_init_fn(config: field_lib.FieldConfig, learning_rate: float):
+  """ONE jitted program for the whole ensemble init (params + Adam state).
+
+  Cached at module scope: a jit wrapper created inside `ensemble_map`
+  would recompile on EVERY fit (each `jax.jit` object has its own cache),
+  which a bench rep measured as a ~2x throughput loss on the remote
+  service. `log_noise_init` is a traced argument so one executable serves
+  every dataset at a given (config, lr, member-count) — and the whole
+  init is one program instead of ~60 primitive-sized eager compiles
+  (docs/roadmap.md item 3).
+  """
+
+  def init_all(keys, log_noise_init):
+    params = jax.vmap(
+        lambda k: field_lib.init_params(
+            config, k, log_noise_scale_init=log_noise_init
+        )
+    )(keys)
+    return params, init_opt_state(config, learning_rate, params)
+
+  return jax.jit(init_all)
+
+
 def _make_losses_and_grads(
     config: field_lib.FieldConfig,
     distribution: likelihoods.LikelihoodDist,
@@ -772,20 +796,9 @@ def ensemble_map(
   log_noise_init = np.log(target_scale / 2.0)
 
   init_keys = jax.random.split(init_seed, padded)
-  # ONE jitted program for the whole ensemble init (params + Adam state).
-  # Eagerly, this setup used to execute ~60 primitive-sized programs —
-  # harmless on a PCIe host, but on a remote-service transport each tiny
-  # compile costs ~0.5 s of round-trip, turning setup into half the cold
-  # first-fit wall time (measured; docs/roadmap.md item 3).
-  def init_all(keys):
-    params = jax.vmap(
-        lambda k: field_lib.init_params(
-            config, k, log_noise_scale_init=log_noise_init
-        )
-    )(keys)
-    return params, init_opt_state(config, learning_rate, params)
-
-  params, opt_state = jax.jit(init_all)(init_keys)
+  params, opt_state = _make_init_fn(config, float(learning_rate))(
+      init_keys, jnp.float32(log_noise_init)
+  )
   member_keys = jax.random.split(opt_seed, padded)
 
   if streaming:

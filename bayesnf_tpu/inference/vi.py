@@ -188,6 +188,23 @@ def init_vi_opt_state(learning_rate, surrogate):
   return jax.vmap(optax.adam(learning_rate).init)(surrogate)
 
 
+@functools.lru_cache(maxsize=32)
+def _make_vi_init_fn(config: field_lib.FieldConfig, learning_rate: float):
+  """ONE jitted, module-cached program for the whole surrogate init.
+
+  Cached at module scope — a jit wrapper created inside `fit_vi` would
+  recompile on every fit (measured ~2x throughput loss per bench rep on
+  the remote service); one program replaces ~60 primitive-sized eager
+  setup compiles (inference/map.py `_make_init_fn`, roadmap item 3).
+  """
+
+  def init_all(keys):
+    surrogate = jax.vmap(lambda k: init_surrogate(config, k))(keys)
+    return surrogate, init_vi_opt_state(learning_rate, surrogate)
+
+  return jax.jit(init_all)
+
+
 def _make_elbo_losses(
     config: field_lib.FieldConfig,
     distribution: likelihoods.LikelihoodDist,
@@ -790,15 +807,9 @@ def fit_vi(
   padded = mesh_lib.pad_ensemble_size(ensemble_size, mesh)
   init_seed, opt_seed = jax.random.split(seed, 2)
   init_keys = jax.random.split(init_seed, padded)
-
-  # ONE jitted program for the whole surrogate init (locs/scales + Adam
-  # state): on a remote-service transport, op-by-op setup compiles cost
-  # ~0.5 s each (see inference/map.py and docs/roadmap.md item 3).
-  def init_all(keys):
-    surrogate = jax.vmap(lambda k: init_surrogate(config, k))(keys)
-    return surrogate, init_vi_opt_state(learning_rate, surrogate)
-
-  surrogate, opt_state = jax.jit(init_all)(init_keys)
+  surrogate, opt_state = _make_vi_init_fn(config, float(learning_rate))(
+      init_keys
+  )
   member_keys = jax.random.split(opt_seed, padded)
 
   if streaming:
