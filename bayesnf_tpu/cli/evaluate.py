@@ -112,7 +112,10 @@ def run_experiment(
         df_train, seed, **fit_kwargs
     )
     df_all = pd.concat([df_train, df_test])
-    means, quants = model.predict(df_all, quantiles=quantiles)
+    means, quants = model.predict(
+        df_all, quantiles=quantiles,
+        stream_chunk_rows=inference_config.get('stream_chunk_rows'),
+    )
   runtime = time.perf_counter() - start
   losses = model.losses_
 
@@ -240,6 +243,12 @@ def main(argv=None):
       "config's batch_size < rows) — for datasets larger than HBM.",
   )
   parser.add_argument(
+      '--stream_chunk_rows', type=int, default=None,
+      help='Out-of-core prediction: stream the (train+test) grid from '
+      'host RAM in chunks of this many rows (bit-identical outputs, '
+      'device memory O(chunk)).',
+  )
+  parser.add_argument(
       '--stream_member_remix', action='store_true',
       help='With --stream_chunk_steps: per-member device-side slice '
       'repartitioning (per-member SGD-noise decorrelation at zero extra '
@@ -267,6 +276,8 @@ def main(argv=None):
       inference['stream_chunk_steps'] = args.stream_chunk_steps
       if args.stream_member_remix:
         inference['stream_member_remix'] = True
+    if args.stream_chunk_rows:
+      inference['stream_chunk_rows'] = args.stream_chunk_rows
     sid = data_cfg['series_id_fmt'](series_id)
     print(f'{args.dataset} series {sid} ({args.objective})')
     run_experiment(

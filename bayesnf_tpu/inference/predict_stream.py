@@ -57,6 +57,10 @@ def _resolve_rows(stream_chunk_rows: int, chunk_size: int, n: int) -> int:
   program's (the forward is row-independent either way; alignment just
   avoids wasted pad compute).
   """
+  if n < 1:
+    raise ValueError(
+        'streamed prediction needs at least one row (got an empty table).'
+    )
   rows = max(int(stream_chunk_rows), 1)
   rows = -(-rows // chunk_size) * chunk_size
   return min(rows, -(-n // chunk_size) * chunk_size)

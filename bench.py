@@ -84,8 +84,7 @@ def main():
   ).astype(np.float32)
 
   x = jnp.asarray(x)
-  seasonal = field_lib.seasonal_features_for(config, x)
-  aug = jnp.concatenate([x, seasonal], axis=-1)
+  aug = field_lib.aug_features_device(config, x)
   y = jnp.asarray(y)
   mesh = mesh_lib.default_mesh()
   n_chips = len(jax.devices())

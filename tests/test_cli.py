@@ -190,9 +190,9 @@ def test_selftest_cli_agrees_on_cpu(capsys, tmp_path):
   summary = json.loads(out.strip().splitlines()[-1])
   assert rc == 0, out
   assert summary['ok'] and summary['failed'] == []
-  assert summary['num_checks'] == 15
+  assert summary['num_checks'] == 25  # round-4 widened legs
   detail = json.loads(json_out.read_text())
-  assert detail['ok'] and len(detail['checks']) == 15
+  assert detail['ok'] and len(detail['checks']) == 25
   assert detail['args']['rows'] == 64
 
 
@@ -320,3 +320,38 @@ class TestPrepareData:
     assert not (tmp_path / 'escape-mid.txt').exists()
     written = {p.name for p in dest.rglob('*') if p.is_file()}
     assert written == {'ok.csv'}
+
+
+def test_main_plumbs_streaming_flags(monkeypatch):
+  # The CLI must forward the streaming knobs into the inference config
+  # (fit: stream_chunk_steps/remix + batch/epoch overrides; predict:
+  # stream_chunk_rows) without touching anything else.
+  from bayesnf_tpu.cli import evaluate
+
+  captured = {}
+
+  def fake_run_experiment(**kwargs):
+    captured.update(kwargs)
+
+  monkeypatch.setattr(evaluate, 'run_experiment', fake_run_experiment)
+  evaluate.main([
+      '--dataset', 'chickenpox', '--objective', 'map',
+      '--data_root', 'unused', '--output_dir', 'unused',
+      '--start_id', '8', '--stop_id', '9',
+      '--stream_chunk_steps', '4', '--stream_member_remix',
+      '--stream_chunk_rows', '1024',
+      '--batch_size', '25', '--num_epochs', '30',
+  ])
+  inf = captured['inference_config']
+  assert inf['stream_chunk_steps'] == 4
+  assert inf['stream_member_remix'] is True
+  assert inf['stream_chunk_rows'] == 1024
+  assert inf['batch_size'] == 25
+  assert inf['num_epochs'] == 30
+
+
+def test_streamed_predict_empty_table_raises():
+  from bayesnf_tpu.inference import predict_stream
+
+  with pytest.raises(ValueError, match='empty'):
+    predict_stream._resolve_rows(32, 16, 0)
