@@ -260,23 +260,30 @@ def main(argv=None):
   stop_id = args.stop_id if args.stop_id is not None else data_cfg['num_series']
   for series_id in range(args.start_id, stop_id):
     inference = registry.inference_config(args.dataset, args.objective)
-    if args.num_particles:
+    # `is not None` (not truthiness) so an explicit 0 is passed through to
+    # fit()'s own validation instead of silently falling back to the
+    # registry's full budget.
+    if args.num_particles is not None:
       inference['num_particles'] = args.num_particles
-    if args.backend:
+    if args.backend is not None:
       inference['backend'] = args.backend
-    if args.precision:
+    if args.precision is not None:
       inference['precision'] = args.precision
-    if args.data_devices:
+    if args.data_devices is not None:
       inference['data_devices'] = args.data_devices
-    if args.num_epochs:
+    if args.num_epochs is not None:
       inference['num_epochs'] = args.num_epochs
-    if args.batch_size:
+    if args.batch_size is not None:
       inference['batch_size'] = args.batch_size
-    if args.stream_chunk_steps:
+    if args.stream_chunk_steps is not None:
       inference['stream_chunk_steps'] = args.stream_chunk_steps
-      if args.stream_member_remix:
-        inference['stream_member_remix'] = True
-    if args.stream_chunk_rows:
+    if args.stream_member_remix:
+      # Applied regardless of where stream_chunk_steps came from (flag or
+      # registry config); if streaming is not configured at all, fit()
+      # raises its "streaming only" ValueError rather than silently
+      # running the shared-permutation scheme.
+      inference['stream_member_remix'] = True
+    if args.stream_chunk_rows is not None:
       inference['stream_chunk_rows'] = args.stream_chunk_rows
     sid = data_cfg['series_id_fmt'](series_id)
     print(f'{args.dataset} series {sid} ({args.objective})')

@@ -19,6 +19,7 @@ anything missing.
 """
 
 import argparse
+import csv
 import hashlib
 import os
 import sys
@@ -68,9 +69,16 @@ def verify_layout(
       if os.path.getsize(path) == 0:
         bad.append(f'{name}: empty file')
         continue
-      with open(path, 'r', encoding='utf-8', errors='replace') as f:
-        header = f.readline()
-      absent_cols = [c for c in want_cols if c not in header]
+      with open(path, 'r', encoding='utf-8', errors='replace', newline='') as f:
+        try:
+          fields = next(csv.reader(f))
+        except StopIteration:
+          fields = []
+      # Exact field-name comparison (not substring-in-line: a short column
+      # name like 'sst' appearing inside unrelated header text must not
+      # pass the check).
+      header_cols = {c.strip() for c in fields}
+      absent_cols = sorted(want_cols - header_cols)
       if absent_cols:
         bad.append(f'{name}: header lacks column(s) {absent_cols}')
     if bad:
@@ -153,11 +161,28 @@ def unpack(archive: str, dest: str, flatten_known: bool = True) -> None:
     roots = {n.split('/', 1)[0] for n in names if '/' in n}
     strip = len(names) > 0 and all('/' in n for n in names) and len(roots) == 1
     dest_root = os.path.realpath(dest)
+    flattened_from = {}  # expected basename -> (archive entry, CRC)
     for name in names:
       rel = name.split('/', 1)[1] if strip else name
       base = rel.replace('\\', '/').rsplit('/', 1)[-1]
       if base in known:
-        rel = base  # place expected CSVs flat, wherever they were nested
+        # Place expected CSVs flat, wherever they were nested — but never
+        # let two archive entries with the SAME basename and DIFFERENT
+        # content silently overwrite each other (entry order would decide
+        # which copy a long fit trains on).
+        crc = zf.getinfo(name).CRC
+        prior = flattened_from.get(base)
+        if prior is not None:
+          if prior[1] != crc:
+            raise SystemExit(
+                f'archive carries two different copies of {base!r} '
+                f'({prior[0]!r} and {name!r}); cannot decide which is the '
+                'dataset — unpack with flatten disabled and place the '
+                'right one at the data root yourself.'
+            )
+          continue  # identical duplicate: keep the first
+        flattened_from[base] = (name, crc)
+        rel = base
       # Zip-slip guard: reject absolute entries and any '..' path
       # component (a mid-path '..' escapes dest just as a leading one
       # does), then double-check the resolved path stays under dest.

@@ -615,27 +615,14 @@ def _make_stream_train_fn(
       return (tuple(params_b), opt_b), losses
 
     if member_remix:
-      # Per-member repartition of the slice pool. Pool = this shard's
-      # S x B_local transferred rows (features-major, so the reshape is a
-      # view); member m's step-s batch = rows perm_m[s B : (s+1) B] of the
-      # pool. Keys derive from (slice key, GLOBAL member id) so results
-      # are independent of the ens-axis sharding; the per-step gather is
-      # (E_local, F, B_local) — transient, never E x slice resident.
-      s, f_dim, b = aug_s.shape
-      pool_aug = jnp.moveaxis(aug_s, 0, 1).reshape(f_dim, s * b)
-      pool_y = y_s.reshape(s * b)
-      e_local = params_b[0].shape[0]
-      member_ids = (
-          jax.lax.axis_index(mesh_lib.ENSEMBLE_AXIS) * e_local
-          + jnp.arange(e_local)
+      # Per-member repartition of the slice pool (plan shared with the VI
+      # trainer — `parallel/streaming.member_remix_plan` documents the
+      # scheme and its RNG contract).
+      from bayesnf_tpu.parallel import streaming as streaming_lib
+
+      pool_aug, pool_y, idx_s = streaming_lib.member_remix_plan(
+          maybe_key[0], aug_s, y_s, params_b[0].shape[0]
       )
-      slice_key = jax.random.wrap_key_data(maybe_key[0])
-      perms = jax.vmap(
-          lambda m: jax.random.permutation(
-              jax.random.fold_in(slice_key, m), s * b
-          )
-      )(member_ids)  # (E_local, S*B)
-      idx_s = jnp.moveaxis(perms.reshape(e_local, s, b), 1, 0)  # (S, E, B)
 
       def remix_step(carry, idx_b):
         aug_b = jnp.moveaxis(pool_aug[:, idx_b], 0, 1)  # (E, F, B)
@@ -972,24 +959,13 @@ def ensemble_map(
     stream = streaming_lib.HostBatchStream(
         aug_host_t, target_host, int(batch_size), opt_seed
     )
-    if stream_member_remix and checkpointer is not None:
-      ckpt_steps = checkpoint_every * num_batches
-      if ckpt_steps % int(stream_chunk_steps):
-        raise ValueError(
-            'stream_member_remix makes stream_chunk_steps the remix '
-            'window: checkpoint chunks must cover whole windows so a '
-            'resume replays identical batches (got checkpoint chunk of '
-            f'{ckpt_steps} steps, window {int(stream_chunk_steps)}). '
-            'Pick checkpoint_every/batch_size so '
-            'checkpoint_every * (N // batch_size) is a multiple of '
-            'stream_chunk_steps.'
-        )
-    remix_key = jax.random.fold_in(opt_seed, 0x5EED)
-
-    def slice_extra_fn(slice_step):
-      return np.asarray(
-          jax.random.key_data(jax.random.fold_in(remix_key, slice_step))
+    if stream_member_remix:
+      streaming_lib.validate_remix_alignment(
+          int(stream_chunk_steps),
+          epoch * num_batches,
+          None if checkpointer is None else checkpoint_every * num_batches,
       )
+    slice_extra_fn = streaming_lib.remix_slice_key_fn(opt_seed)
 
     def make_stream_fn(slice_steps, kernel):
       if kernel not in ('pallas', 'xla'):

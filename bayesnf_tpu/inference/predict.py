@@ -249,7 +249,8 @@ def _make_predict_fn(
   return jax.jit(predict)
 
 
-def _prepare_predict_inputs(features, params, mesh, backend):
+def _prepare_predict_inputs(features, params, mesh, backend,
+                            features_on_host=False):
   """Shared entry contract of the predict-stack public functions.
 
   Globalizes inputs on a multi-process mesh (every process holds the same
@@ -261,14 +262,25 @@ def _prepare_predict_inputs(features, params, mesh, backend):
   the fused Pallas forward on single-process TPU placements and the
   portable XLA program otherwise.
 
+  The streamed predictor (`predict_stream.py`) shares this exact
+  resolution via `features_on_host=True`: features stay a host numpy
+  array (never device-materialized whole); only params are placed. One
+  implementation keeps the in-memory and streamed paths' mesh/backend
+  semantics identical by construction (their bit-identity contract
+  depends on it).
+
   Returns (features, params, mesh, multiproc, backend, auto_resolved).
   """
-  features = jnp.asarray(features, dtype=jnp.float32)
+  if features_on_host:
+    features = np.asarray(features, dtype=np.float32)
+  else:
+    features = jnp.asarray(features, dtype=jnp.float32)
   params = tuple(jnp.asarray(p) for p in params)
   multiproc = mesh is not None and distributed_lib.is_multiprocess_mesh(mesh)
   if multiproc:
     rep = mesh_lib.replicated_sharding(mesh)
-    features = distributed_lib.make_global(features, rep)
+    if not features_on_host:
+      features = distributed_lib.make_global(features, rep)
     params = tuple(distributed_lib.make_global(p, rep) for p in params)
   if backend not in ('xla', 'pallas', 'auto'):
     raise ValueError(f'Unknown predict backend: {backend!r}')

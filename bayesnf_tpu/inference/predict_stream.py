@@ -68,13 +68,17 @@ def _resolve_rows(stream_chunk_rows: int, chunk_size: int, n: int) -> int:
 
 @functools.lru_cache(maxsize=32)
 def _make_stream_forward_fn(
-    config, distribution, chunk_size, mesh, backend, rows
+    config, distribution, chunk_size, mesh, backend, rows, with_count_means
 ):
   """Pass-1 program: encode + forecast params + masked bracket extrema.
 
   Takes (params_flat, x_chunk (rows, D), valid scalar); rows past `valid`
   are host zero-padding, masked out of the statistics. Returns
-  (per-row leaves (K, rows) / scalar leaves (K,), stats tuple).
+  (per-row leaves (K, rows) / scalar leaves (K,), stats tuple). For count
+  models, `with_count_means` appends the observation means as an extra
+  leaf; when False they are still computed for the bracket statistics but
+  never leave the device (no per-chunk transfer for a leaf the caller
+  would drop).
   """
 
   def fwd(params_flat, x_chunk, valid):
@@ -108,7 +112,7 @@ def _make_stream_forward_fn(
         jnp.amax(jnp.where(mask, obs_mean, -jnp.inf)),
         jnp.amax(jnp.where(mask, obs_d.stddev(), -jnp.inf)),
     )
-    return fp + (obs_mean,), stats
+    return (fp + (obs_mean,) if with_count_means else fp), stats
 
   return jax.jit(fwd)
 
@@ -228,8 +232,13 @@ def _stream_forecast_params(
   """
   n, _ = features.shape
   k = int(params_flat[0].shape[0])
+  # NORMAL ignores the flag; normalizing it keeps the compiled-program
+  # cache to one entry for both public callers.
+  wants_mean = bool(with_count_means) and (
+      distribution != likelihoods.LikelihoodDist.NORMAL
+  )
   fwd = _make_stream_forward_fn(
-      config, distribution, chunk_size, mesh, backend, rows
+      config, distribution, chunk_size, mesh, backend, rows, wants_mean
   )
   io = _ChunkIO(mesh, multiproc)
 
@@ -277,34 +286,22 @@ def _stream_forecast_params(
       scalar_leaves[i] if buf is None else buf
       for i, buf in enumerate(buffers)
   )
-  if distribution != likelihoods.LikelihoodDist.NORMAL and not with_count_means:
-    leaves = leaves[:-1]  # drop the assembled observation means
   return leaves, stats
 
 
 def _prepare_streamed_inputs(features, params, ensemble_dims, mesh, backend):
-  """Streamed twin of `predict._prepare_predict_inputs`.
+  """Streamed entry contract: the in-memory resolution + param flattening.
 
-  Identical mesh/backend resolution, but `features` stays a host numpy
-  array (never device-materialized whole) — only `params` are placed.
+  Delegates mesh/backend resolution to `predict._prepare_predict_inputs`
+  (`features_on_host=True` keeps the grid a host numpy array — only the
+  params are placed), so the streamed and in-memory paths cannot drift
+  apart; then flattens the public ensemble axes for the chunk programs.
   """
-  features = np.asarray(features, dtype=np.float32)
-  params = tuple(jnp.asarray(p) for p in params)
-  multiproc = mesh is not None and distributed_lib.is_multiprocess_mesh(mesh)
-  if multiproc:
-    rep = mesh_lib.replicated_sharding(mesh)
-    params = tuple(distributed_lib.make_global(p, rep) for p in params)
-  if backend not in ('xla', 'pallas', 'auto'):
-    raise ValueError(f'Unknown predict backend: {backend!r}')
-  if mesh is not None and mesh.size == 1 and not multiproc:
-    mesh = None
-  auto_resolved = backend == 'auto'
-  if auto_resolved:
-    backend = (
-        'pallas'
-        if jax.default_backend() == 'tpu' and not multiproc
-        else 'xla'
-    )
+  (features, params, mesh, multiproc, backend, auto_resolved) = (
+      predict_lib._prepare_predict_inputs(  # pylint: disable=protected-access
+          features, params, mesh, backend, features_on_host=True
+      )
+  )
   ens_shape = tuple(params[0].shape[:ensemble_dims])
   k = int(np.prod(ens_shape))
   params_flat = tuple(

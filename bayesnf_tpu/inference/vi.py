@@ -610,23 +610,13 @@ def _make_stream_vi_fn(
       return (surrogate, opt_state, keys), losses
 
     if member_remix:
-      # Per-member repartition of the slice pool (same scheme/comments as
-      # inference/map.py:_make_stream_train_fn).
-      s, f_dim, b = aug_s.shape
-      pool_aug = jnp.moveaxis(aug_s, 0, 1).reshape(f_dim, s * b)
-      pool_y = y_s.reshape(s * b)
-      e_local = surrogate[0][0].shape[0]
-      member_ids = (
-          jax.lax.axis_index(mesh_lib.ENSEMBLE_AXIS) * e_local
-          + jnp.arange(e_local)
+      # Per-member repartition of the slice pool (plan shared with the MAP
+      # trainer — `parallel/streaming.member_remix_plan`).
+      from bayesnf_tpu.parallel import streaming as streaming_lib
+
+      pool_aug, pool_y, idx_s = streaming_lib.member_remix_plan(
+          maybe_key[0], aug_s, y_s, surrogate[0][0].shape[0]
       )
-      slice_key = jax.random.wrap_key_data(maybe_key[0])
-      perms = jax.vmap(
-          lambda m: jax.random.permutation(
-              jax.random.fold_in(slice_key, m), s * b
-          )
-      )(member_ids)
-      idx_s = jnp.moveaxis(perms.reshape(e_local, s, b), 1, 0)  # (S, E, B)
 
       def remix_step(carry, idx_b):
         aug_b = jnp.moveaxis(pool_aug[:, idx_b], 0, 1)  # (E, F, B)
@@ -970,20 +960,13 @@ def fit_vi(
         aug_host_t, target_host, int(batch_size), opt_seed,
         per_step_resample=True,
     )
-    if stream_member_remix and checkpointer is not None:
-      if checkpoint_every % int(stream_chunk_steps):
-        raise ValueError(
-            'stream_member_remix makes stream_chunk_steps the remix '
-            'window: checkpoint chunks must cover whole windows so a '
-            'resume replays identical batches (got checkpoint chunk of '
-            f'{checkpoint_every} steps, window {int(stream_chunk_steps)}).'
-        )
-    remix_key = jax.random.fold_in(opt_seed, 0x5EED)
-
-    def slice_extra_fn(slice_step):
-      return np.asarray(
-          jax.random.key_data(jax.random.fold_in(remix_key, slice_step))
+    if stream_member_remix:
+      streaming_lib.validate_remix_alignment(
+          int(stream_chunk_steps),
+          step,
+          None if checkpointer is None else checkpoint_every,
       )
+    slice_extra_fn = streaming_lib.remix_slice_key_fn(opt_seed)
 
     def make_stream_fn(slice_steps, kernel):
       if kernel not in ('pallas', 'xla'):

@@ -162,6 +162,90 @@ class HostBatchStream:
       step += s
 
 
+def member_remix_plan(raw_key, aug_s, y_s, e_local: int):
+  """Per-member repartition plan for a streamed slice's resident row pool.
+
+  The member-remix scheme (PARITY.md §2b): one slice of S host-assembled
+  batches is transferred ONCE, and each ensemble member repartitions the
+  resident S x B rows into its OWN S batches — per-member SGD-noise
+  decorrelation (the reference permutes per member,
+  `/root/reference/src/bayesnf/inference.py:593-597`) at zero extra
+  host->device traffic. Shared by the MAP and VI stream trainers so their
+  remix RNG semantics are identical by construction.
+
+  Runs INSIDE shard_map: keys derive from (slice key, GLOBAL member id via
+  the 'ens' axis index) so results are independent of the ens-axis
+  sharding. Returns (pool_aug (F, S*B), pool_y (S*B), idx_s (S, E_local,
+  B)) — the per-step gather stays (E_local, F, B), transient, never
+  E x slice resident.
+  """
+  import jax.numpy as jnp
+
+  from bayesnf_tpu.parallel import mesh as mesh_lib
+
+  s, f_dim, b = aug_s.shape
+  pool_aug = jnp.moveaxis(aug_s, 0, 1).reshape(f_dim, s * b)
+  pool_y = y_s.reshape(s * b)
+  member_ids = (
+      jax.lax.axis_index(mesh_lib.ENSEMBLE_AXIS) * e_local
+      + jnp.arange(e_local)
+  )
+  slice_key = jax.random.wrap_key_data(raw_key)
+  perms = jax.vmap(
+      lambda m: jax.random.permutation(
+          jax.random.fold_in(slice_key, m), s * b
+      )
+  )(member_ids)  # (E_local, S*B)
+  idx_s = jnp.moveaxis(perms.reshape(e_local, s, b), 1, 0)  # (S, E, B)
+  return pool_aug, pool_y, idx_s
+
+
+def remix_slice_key_fn(opt_seed: jax.Array):
+  """The per-slice raw-key derivation of the member-remix scheme.
+
+  One shared definition (MAP and VI trainers) of how a slice's remix key
+  derives from the run seed and the slice's ABSOLUTE start step — the
+  checkpoint-resume replay guarantee depends on both trainers using
+  exactly this mapping.
+  """
+  remix_key = jax.random.fold_in(opt_seed, 0x5EED)
+
+  def slice_extra_fn(slice_step):
+    return np.asarray(
+        jax.random.key_data(jax.random.fold_in(remix_key, slice_step))
+    )
+
+  return slice_extra_fn
+
+
+def validate_remix_alignment(
+    window: int, start_step: int, checkpoint_steps: int | None
+) -> None:
+  """Remix windows are keyed by absolute start step — checkpoint chunks
+  AND the resume step must land on window boundaries, or a resumed run
+  would recompose batches mid-window and silently diverge from the
+  uninterrupted run it claims to replay."""
+  window = int(window)
+  if checkpoint_steps is not None and checkpoint_steps % window:
+    raise ValueError(
+        'stream_member_remix makes stream_chunk_steps the remix '
+        'window: checkpoint chunks must cover whole windows so a '
+        'resume replays identical batches (got checkpoint chunk of '
+        f'{checkpoint_steps} steps, window {window}). Pick '
+        'checkpoint_every/batch_size so the checkpoint chunk step count '
+        'is a multiple of stream_chunk_steps.'
+    )
+  if start_step % window:
+    raise ValueError(
+        'stream_member_remix resume must start on a remix window '
+        f'boundary (window {window} steps, resuming at step '
+        f'{start_step}): extending a run whose completed step count is '
+        'not a multiple of the window would recompose batches mid-window '
+        'instead of replaying the fresh-run schedule. Pick num_epochs so '
+        'the total step count is a multiple of stream_chunk_steps.'
+    )
+
+
 def run_stream_driver(
     stream: HostBatchStream,
     *,

@@ -291,6 +291,55 @@ class TestPrepareData:
     assert any('empty' in p for p in problems)
     assert any('header lacks' in p for p in problems)
 
+  def test_deep_verify_matches_column_names_exactly(self, tmp_path):
+    # Raw substring matching would pass a header whose text merely
+    # CONTAINS the column names ('chickenpox' inside a prose line,
+    # 'latitude' inside 'colatitude'); the check must parse CSV fields.
+    from bayesnf_tpu.cli import prepare_data
+
+    for name in prepare_data.expected_files('chickenpox'):
+      (tmp_path / name).write_text(
+          'notes: datetime colatitude longitude chickenpox\n1,2\n'
+      )
+    problems = prepare_data.verify_layout(
+        str(tmp_path), ['chickenpox'], deep=True
+    )['chickenpox']
+    assert len(problems) == len(prepare_data.expected_files('chickenpox'))
+    assert all('header lacks' in p for p in problems)
+    # Quoted/spaced fields still count as exact matches.
+    cfg = registry.dataset_config('chickenpox')
+    header = ','.join(
+        f'"{c}"' for c in cfg['feature_cols'] + [cfg['target_col']]
+    )
+    for name in prepare_data.expected_files('chickenpox'):
+      (tmp_path / name).write_text(header + '\n1,2,3,4\n')
+    assert prepare_data.verify_layout(
+        str(tmp_path), ['chickenpox'], deep=True
+    ) == {}
+
+  def test_unpack_rejects_conflicting_duplicate_basenames(self, tmp_path):
+    # Two archive entries carrying the SAME expected basename with
+    # DIFFERENT content must fail loudly — entry order deciding which
+    # copy wins would let a long fit train on the wrong data.
+    import zipfile
+
+    from bayesnf_tpu.cli import prepare_data
+
+    archive = tmp_path / 'datasets.zip'
+    with zipfile.ZipFile(archive, 'w') as zf:
+      zf.writestr('data/chickenpox.8.train.csv', 'a,b\n1,2\n')
+      zf.writestr('data/old/chickenpox.8.train.csv', 'a,b\n9,9\n')
+    with pytest.raises(SystemExit, match='two different copies'):
+      prepare_data.unpack(str(archive), str(tmp_path / 'out'))
+    # Identical duplicates are harmless: keep the first, no error.
+    archive2 = tmp_path / 'datasets2.zip'
+    with zipfile.ZipFile(archive2, 'w') as zf:
+      zf.writestr('data/chickenpox.8.train.csv', 'a,b\n1,2\n')
+      zf.writestr('data/copy/chickenpox.8.train.csv', 'a,b\n1,2\n')
+    dest = tmp_path / 'out2'
+    prepare_data.unpack(str(archive2), str(dest))
+    assert (dest / 'chickenpox.8.train.csv').read_text() == 'a,b\n1,2\n'
+
   def test_file_md5_matches_hashlib(self, tmp_path):
     import hashlib
 
@@ -348,6 +397,27 @@ def test_main_plumbs_streaming_flags(monkeypatch):
   assert inf['stream_chunk_rows'] == 1024
   assert inf['batch_size'] == 25
   assert inf['num_epochs'] == 30
+
+
+def test_main_remix_flag_is_independent_of_chunk_steps_flag(monkeypatch):
+  # --stream_member_remix must reach fit() even when stream_chunk_steps
+  # comes from the registry config instead of the command line (fit's own
+  # "streaming only" validation then decides; the flag must never be
+  # silently dropped).
+  from bayesnf_tpu.cli import evaluate
+
+  captured = {}
+  monkeypatch.setattr(
+      evaluate, 'run_experiment', lambda **kw: captured.update(kw)
+  )
+  evaluate.main([
+      '--dataset', 'chickenpox', '--objective', 'map',
+      '--data_root', 'unused', '--output_dir', 'unused',
+      '--start_id', '8', '--stop_id', '9',
+      '--stream_member_remix',
+  ])
+  assert captured['inference_config']['stream_member_remix'] is True
+  assert 'stream_chunk_steps' not in captured['inference_config']
 
 
 def test_streamed_predict_empty_table_raises():

@@ -436,6 +436,39 @@ class TestMemberRemix:
           stream_member_remix=True,
       )
 
+  def test_remix_misaligned_resume_extension_raises(self, tmp_path):
+    # num_epochs is deliberately outside the checkpoint fingerprint
+    # (extending a run is a supported resume), but with remix the resume
+    # must land on a window boundary: a completed 1-epoch run here ends at
+    # step 5 (5 batches/epoch), which sits mid-window for window=4 —
+    # silently restarting windows there would diverge from a fresh 2-epoch
+    # run's schedule, so it must raise instead.
+    config, aug, y = _setup()
+    ckdir = str(tmp_path / 'ck')
+    base = dict(
+        ensemble_size=3, learning_rate=0.01,
+        seed=jax.random.PRNGKey(0), batch_size=10, backend='xla',
+        stream_chunk_steps=4, stream_member_remix=True,
+        checkpoint_dir=ckdir, checkpoint_every=4,
+    )
+    map_lib.ensemble_map(
+        aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+        num_epochs=1, **base,
+    )
+    with pytest.raises(ValueError, match='window boundary'):
+      map_lib.ensemble_map(
+          aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+          num_epochs=2, **base,
+      )
+
+  def test_validate_remix_alignment_contract(self):
+    streaming_lib.validate_remix_alignment(4, 0, None)
+    streaming_lib.validate_remix_alignment(4, 8, 8)
+    with pytest.raises(ValueError, match='remix window'):
+      streaming_lib.validate_remix_alignment(4, 0, 6)
+    with pytest.raises(ValueError, match='window boundary'):
+      streaming_lib.validate_remix_alignment(4, 6, 8)
+
 
 class TestSharedPermutationEquivalence:
   """Quantifies the documented streaming RNG deviation.
