@@ -63,6 +63,38 @@ def resolve_backend(
   return 'xla'
 
 
+def adam_state_spec(config, learning_rate: float, leaf, surrogate: bool = False):
+  """Sharding tree shaped like the trainers' batched Adam state.
+
+  Built with `jax.eval_shape` (trace-only): the `jnp.zeros` template it
+  replaces compiled one eager broadcast per distinct parameter-leaf shape
+  just to learn the optimizer state's pytree structure — ~8 of the
+  cold-fit setup subcompiles of docs/roadmap.md item 3, each ~0.5 s of
+  service RPC on a remote-attached device.
+
+  Args:
+    config: static model config (fixes the parameter leaves).
+    learning_rate: Adam learning rate (optax needs it to build the state).
+    leaf: the per-leaf spec to broadcast over the state tree — a
+      `PartitionSpec` (shard_map factories) or `NamedSharding` (GSPMD
+      in/out shardings).
+    surrogate: True for the VI trainers, whose parameter pytree is the
+      (locs, raw_scales) surrogate pair.
+  """
+  import optax
+
+  from bayesnf_tpu.models import field as field_lib
+
+  template = tuple(
+      jax.ShapeDtypeStruct((1,) + s.shape, jax.numpy.float32)
+      for s in field_lib.param_specs(config)
+  )
+  if surrogate:
+    template = (template, template)
+  state = jax.eval_shape(optax.adam(learning_rate).init, template)
+  return jax.tree_util.tree_map(lambda _: leaf, state)
+
+
 def warn_pallas_fallback(err: Exception) -> None:
   """Loud stderr warning when an auto-selected pallas program fails to build.
 

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from bayesnf_tpu.inference import backends as backends_lib
 from bayesnf_tpu.models import field as field_lib
 from bayesnf_tpu.models import likelihoods
 from bayesnf_tpu.models import priors
@@ -198,11 +199,7 @@ def _make_train_fn(
   data_t = mesh_lib.data_sharding_t(mesh)  # rows are axis 1 of aug_t
   num_leaves = len(field_lib.param_specs(config))
   params_shard = (ens,) * num_leaves
-  opt_shard = jax.tree_util.tree_map(
-      lambda _: ens, optax.adam(learning_rate).init(
-          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config))
-      )
-  )
+  opt_shard = backends_lib.adam_state_spec(config, learning_rate, ens)
   return jax.jit(
       train,
       in_shardings=(params_shard, opt_shard, ens, data_t, data),
@@ -217,8 +214,11 @@ def init_opt_state(config, learning_rate, params):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_init_fn(config: field_lib.FieldConfig, learning_rate: float):
-  """ONE jitted program for the whole ensemble init (params + Adam state).
+def _make_init_fn(
+    config: field_lib.FieldConfig, learning_rate: float, padded: int, mesh=None
+):
+  """ONE jitted program for the whole ensemble init: every key split,
+  member params, Adam state, and the per-member training keys.
 
   Cached at module scope: a jit wrapper created inside `ensemble_map`
   would recompile on EVERY fit (each `jax.jit` object has its own cache),
@@ -226,18 +226,47 @@ def _make_init_fn(config: field_lib.FieldConfig, learning_rate: float):
   service. `log_noise_init` is a traced argument so one executable serves
   every dataset at a given (config, lr, member-count) — and the whole
   init is one program instead of ~60 primitive-sized eager compiles
-  (docs/roadmap.md item 3).
+  (docs/roadmap.md item 3). The key derivation is the reference scheme
+  verbatim (split(seed) -> init keys / optimizer seed, inference.py:
+  571-575) — threefry is bit-identical under jit, so folding the splits
+  in changes no RNG stream.
+
+  With a (single-process) `mesh`, outputs come back already
+  ensemble-sharded — matching the train programs' in_shardings, so the
+  first training chunk dispatches without an eager per-leaf reshard
+  (which compiled one `_multi_slice` program per distinct leaf shape).
+  Multi-process callers pass mesh=None and globalize explicitly.
+  `opt_seed` is returned for the host-side streaming pipeline, which
+  derives its batch schedule from it.
   """
 
-  def init_all(keys, log_noise_init):
+  def init_all(seed, log_noise_init):
+    init_seed, opt_seed = jax.random.split(seed, 2)
+    init_keys = jax.random.split(init_seed, padded)
     params = jax.vmap(
         lambda k: field_lib.init_params(
             config, k, log_noise_scale_init=log_noise_init
         )
-    )(keys)
-    return params, init_opt_state(config, learning_rate, params)
+    )(init_keys)
+    member_keys = jax.random.split(opt_seed, padded)
+    return (
+        params,
+        init_opt_state(config, learning_rate, params),
+        member_keys,
+        opt_seed,
+    )
 
-  return jax.jit(init_all)
+  if mesh is None:
+    return jax.jit(init_all)
+  ens = mesh_lib.ensemble_sharding(mesh)
+  num_leaves = len(field_lib.param_specs(config))
+  out_shardings = (
+      (ens,) * num_leaves,
+      backends_lib.adam_state_spec(config, learning_rate, ens),
+      ens,
+      mesh_lib.replicated_sharding(mesh),
+  )
+  return jax.jit(init_all, out_shardings=out_shardings)
 
 
 def _make_losses_and_grads(
@@ -521,12 +550,7 @@ def _make_shardmap_train_fn(
   p_rows_t = jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
   p_rows = jax.sharding.PartitionSpec(mesh_lib.DATA_AXIS)
   params_spec = (p_ens,) * num_leaves
-  opt_spec = jax.tree_util.tree_map(
-      lambda _: p_ens,
-      optax.adam(learning_rate).init(
-          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config))
-      ),
-  )
+  opt_spec = backends_lib.adam_state_spec(config, learning_rate, p_ens)
   sharded = jax.shard_map(
       shard_train,
       mesh=mesh,
@@ -644,12 +668,7 @@ def _make_stream_train_fn(
   p_slice = jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
   p_rep = jax.sharding.PartitionSpec()
   params_spec = (p_ens,) * num_leaves
-  opt_spec = jax.tree_util.tree_map(
-      lambda _: p_ens,
-      optax.adam(learning_rate).init(
-          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config))
-      ),
-  )
+  opt_spec = backends_lib.adam_state_spec(config, learning_rate, p_ens)
   in_specs = (params_spec, opt_spec, p_slice_t, p_slice)
   if member_remix:
     in_specs = in_specs + (p_rep,)
@@ -777,16 +796,13 @@ def ensemble_map(
   multiproc = dist_lib.is_multiprocess_mesh(mesh)
 
   padded = mesh_lib.pad_ensemble_size(ensemble_size, mesh)
-  init_seed, opt_seed = jax.random.split(seed, 2)
 
   target_scale = np.nanstd(np.asarray(target))
   log_noise_init = np.log(target_scale / 2.0)
 
-  init_keys = jax.random.split(init_seed, padded)
-  params, opt_state = _make_init_fn(config, float(learning_rate))(
-      init_keys, jnp.float32(log_noise_init)
-  )
-  member_keys = jax.random.split(opt_seed, padded)
+  params, opt_state, member_keys, opt_seed = _make_init_fn(
+      config, float(learning_rate), padded, None if multiproc else mesh
+  )(seed, np.float32(log_noise_init))
 
   if streaming:
     # The dataset stays HOST-resident (numpy or memmap; np.asarray and .T
@@ -798,21 +814,18 @@ def ensemble_map(
     aug_t = target = None
     row_pad = 0
   else:
-    # Features-major device layout (rows on the TPU lane dimension).
-    aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
-    target = jnp.asarray(target, dtype=jnp.float32)
-
-    # An uneven data axis (N % data_devices != 0) stores rows in the
-    # balanced layout — each shard holds a valid prefix, counts differing
-    # by at most 1 (parallel/minibatch.py). Both backends exclude the
-    # padding exactly (zero weights on the GSPMD path, an in-kernel
-    # valid-row mask under shard_map), and minibatch permutations never
-    # index it.
+    # Features-major device layout (rows on the TPU lane dimension), with
+    # the balanced stored-row layout when the data axis is uneven
+    # (N % data_devices != 0) — each shard holds a valid prefix, counts
+    # differing by at most 1 (parallel/minibatch.py). Both backends
+    # exclude the padding exactly (zero weights on the GSPMD path, an
+    # in-kernel valid-row mask under shard_map), and minibatch
+    # permutations never index it. One jitted, row-sharded program
+    # (docs/roadmap.md item 3 — was an eager transpose + convert + pads).
     row_pad = (-data_size) % data_shards
-    if row_pad:
-      aug_t, target = minibatch_lib.pad_rows_balanced(
-          aug_t, target, data_size, data_shards
-      )
+    aug_t, target = minibatch_lib.make_layout_fn(
+        data_size, data_shards, None if multiproc else mesh
+    )(aug_features, target)
 
   num_epochs = int(num_epochs)
   start_epoch = 0
@@ -864,9 +877,15 @@ def ensemble_map(
     )
     restored = checkpointer.restore_latest()
     if restored is not None:
-      params = tuple(jnp.asarray(p) for p in restored.params)
-      opt_state = restored.opt_state(template=opt_state)
-      member_keys = jnp.asarray(restored.keys)
+      # Restored host leaves go straight onto the train program's layout
+      # (multi-process placement happens below via make_global instead).
+      place = jnp.asarray
+      if not multiproc:
+        ens_restore = mesh_lib.ensemble_sharding(mesh)
+        place = lambda x: jax.device_put(np.asarray(x), ens_restore)
+      params = tuple(place(p) for p in restored.params)
+      opt_state = restored.opt_state(template=opt_state, place=place)
+      member_keys = place(restored.keys)
       loss_chunks = [np.asarray(l) for l in restored.losses]
       start_epoch = restored.epoch
     if checkpoint_every is None:

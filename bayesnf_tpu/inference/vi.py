@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from bayesnf_tpu.inference import backends as backends_lib
 from bayesnf_tpu.models import field as field_lib
 from bayesnf_tpu.models import likelihoods
 from bayesnf_tpu.models import priors
@@ -168,12 +169,8 @@ def _make_vi_fn(
   num_leaves = len(field_lib.param_specs(config))
   param_shards = (ens,) * num_leaves
   surr_shards = (param_shards, param_shards)
-  opt_shards = jax.tree_util.tree_map(
-      lambda _: ens,
-      optimizer.init((
-          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
-          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
-      )),
+  opt_shards = backends_lib.adam_state_spec(
+      config, learning_rate, ens, surrogate=True
   )
   return jax.jit(
       fit,
@@ -189,20 +186,49 @@ def init_vi_opt_state(learning_rate, surrogate):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_vi_init_fn(config: field_lib.FieldConfig, learning_rate: float):
-  """ONE jitted, module-cached program for the whole surrogate init.
+def _make_vi_init_fn(
+    config: field_lib.FieldConfig, learning_rate: float, padded: int, mesh=None
+):
+  """ONE jitted, module-cached program for the whole surrogate init:
+  every key split, member surrogates, Adam state, per-member step keys.
 
   Cached at module scope — a jit wrapper created inside `fit_vi` would
   recompile on every fit (measured ~2x throughput loss per bench rep on
   the remote service); one program replaces ~60 primitive-sized eager
   setup compiles (inference/map.py `_make_init_fn`, roadmap item 3).
+  The key derivation is the reference scheme verbatim (threefry is
+  bit-identical under jit, so folding the splits in changes no RNG
+  stream). With a (single-process) `mesh`, outputs come back already
+  ensemble-sharded, matching the VI programs' in_shardings — the first
+  chunk dispatches without eager per-leaf reshards. Multi-process
+  callers pass mesh=None and globalize explicitly. `opt_seed` feeds the
+  host-side streaming pipeline's batch schedule.
   """
 
-  def init_all(keys):
-    surrogate = jax.vmap(lambda k: init_surrogate(config, k))(keys)
-    return surrogate, init_vi_opt_state(learning_rate, surrogate)
+  def init_all(seed):
+    init_seed, opt_seed = jax.random.split(seed, 2)
+    init_keys = jax.random.split(init_seed, padded)
+    surrogate = jax.vmap(lambda k: init_surrogate(config, k))(init_keys)
+    member_keys = jax.random.split(opt_seed, padded)
+    return (
+        surrogate,
+        init_vi_opt_state(learning_rate, surrogate),
+        member_keys,
+        opt_seed,
+    )
 
-  return jax.jit(init_all)
+  if mesh is None:
+    return jax.jit(init_all)
+  ens = mesh_lib.ensemble_sharding(mesh)
+  num_leaves = len(field_lib.param_specs(config))
+  param_shards = (ens,) * num_leaves
+  out_shardings = (
+      (param_shards, param_shards),
+      backends_lib.adam_state_spec(config, learning_rate, ens, surrogate=True),
+      ens,
+      mesh_lib.replicated_sharding(mesh),
+  )
+  return jax.jit(init_all, out_shardings=out_shardings)
 
 
 def _make_elbo_losses(
@@ -509,12 +535,8 @@ def _make_shardmap_vi_fn(
   p_rows = jax.sharding.PartitionSpec(mesh_lib.DATA_AXIS)
   params_spec = (p_ens,) * num_leaves
   surr_spec = (params_spec, params_spec)
-  opt_spec = jax.tree_util.tree_map(
-      lambda _: p_ens,
-      optimizer.init((
-          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
-          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
-      )),
+  opt_spec = backends_lib.adam_state_spec(
+      config, learning_rate, p_ens, surrogate=True
   )
   sharded = jax.shard_map(
       shard_fit,
@@ -639,12 +661,8 @@ def _make_stream_vi_fn(
   p_slice = jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)
   params_spec = (p_ens,) * num_leaves
   surr_spec = (params_spec, params_spec)
-  opt_spec = jax.tree_util.tree_map(
-      lambda _: p_ens,
-      optimizer.init((
-          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
-          tuple(jnp.zeros((1,) + s.shape) for s in field_lib.param_specs(config)),
-      )),
+  opt_spec = backends_lib.adam_state_spec(
+      config, learning_rate, p_ens, surrogate=True
   )
   in_specs = (surr_spec, opt_spec, p_ens, p_slice_t, p_slice)
   if member_remix:
@@ -795,12 +813,9 @@ def fit_vi(
   distribution = likelihoods.LikelihoodDist(observation_model)
 
   padded = mesh_lib.pad_ensemble_size(ensemble_size, mesh)
-  init_seed, opt_seed = jax.random.split(seed, 2)
-  init_keys = jax.random.split(init_seed, padded)
-  surrogate, opt_state = _make_vi_init_fn(config, float(learning_rate))(
-      init_keys
-  )
-  member_keys = jax.random.split(opt_seed, padded)
+  surrogate, opt_state, member_keys, opt_seed = _make_vi_init_fn(
+      config, float(learning_rate), padded, None if multiproc else mesh
+  )(seed)
 
   if streaming:
     # Host-resident dataset (no-copy views for float32 numpy input); no
@@ -810,16 +825,13 @@ def fit_vi(
     aug_t = target = None
     row_pad = 0
   else:
-    aug_t = jnp.asarray(aug_features, dtype=jnp.float32).T
-    target = jnp.asarray(target, dtype=jnp.float32)
-
-    # Uneven data axis: balanced stored-row layout (each shard a valid
-    # prefix); both backends exclude the padding exactly (see ensemble_map).
+    # One jitted, row-sharded layout program; uneven data axes store the
+    # balanced padded layout (each shard a valid prefix) and both
+    # backends exclude the padding exactly (see ensemble_map).
     row_pad = (-data_size) % data_shards
-    if row_pad:
-      aug_t, target = minibatch_lib.pad_rows_balanced(
-          aug_t, target, data_size, data_shards
-      )
+    aug_t, target = minibatch_lib.make_layout_fn(
+        data_size, data_shards, None if multiproc else mesh
+    )(aug_features, target)
 
   num_steps = int(num_epochs)
   start_step = 0
@@ -864,14 +876,20 @@ def fit_vi(
     )
     restored = checkpointer.restore_latest()
     if restored is not None:
+      # Restored host leaves land directly on the VI program's layout
+      # (multi-process placement happens below via make_global instead).
+      place = jnp.asarray
+      if not multiproc:
+        ens_restore = mesh_lib.ensemble_sharding(mesh)
+        place = lambda x: jax.device_put(np.asarray(x), ens_restore)
       locs_scales = restored.params  # (locs..., raw_scales...) flat tuple
       num_leaves = len(locs_scales) // 2
       surrogate = (
-          tuple(jnp.asarray(p) for p in locs_scales[:num_leaves]),
-          tuple(jnp.asarray(p) for p in locs_scales[num_leaves:]),
+          tuple(place(p) for p in locs_scales[:num_leaves]),
+          tuple(place(p) for p in locs_scales[num_leaves:]),
       )
-      opt_state = restored.opt_state(template=opt_state)
-      member_keys = jnp.asarray(restored.keys)
+      opt_state = restored.opt_state(template=opt_state, place=place)
+      member_keys = place(restored.keys)
       loss_chunks = [np.asarray(l) for l in restored.losses]
       start_step = restored.epoch
     if checkpoint_every is None:

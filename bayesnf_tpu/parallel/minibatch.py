@@ -23,6 +23,8 @@ zero padding. Balance is what guarantees every shard can supply
 ``N % shards == 0`` the layout is the identity (no padding).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,6 +62,40 @@ def pad_rows_balanced(aug_t: jax.Array, target: jax.Array,
     segs_y.append(jnp.pad(target[off:off + n_s], (0, pad)))
     off += n_s
   return jnp.concatenate(segs_a, axis=1), jnp.concatenate(segs_y)
+
+
+@functools.lru_cache(maxsize=32)
+def make_layout_fn(data_size: int, shards: int, mesh=None):
+  """ONE jitted program for the trainers' stored-row device layout.
+
+  (N, F) inputs + (N,) targets -> features-major float32 `aug_t` (rows on
+  the TPU lane dimension) and float32 targets, through the balanced
+  padded layout when the data axis is uneven. Replaces an eager
+  transpose + convert (+ per-shard pads/concats) — each a separate
+  compiled program, ~0.5 s of service RPC apiece on a remote-attached
+  device (docs/roadmap.md item 3). With a (single-process) `mesh` the
+  outputs come back row-sharded over 'data', matching the train
+  programs' in_shardings, so the first chunk dispatches without an eager
+  reshard; multi-process callers pass mesh=None and globalize explicitly.
+  """
+
+  def layout(aug, target):
+    aug_t = jnp.asarray(aug, dtype=jnp.float32).T
+    tgt = jnp.asarray(target, dtype=jnp.float32)
+    if (-data_size) % shards:
+      return pad_rows_balanced(aug_t, tgt, data_size, shards)
+    return aug_t, tgt
+
+  if mesh is None:
+    return jax.jit(layout)
+  from bayesnf_tpu.parallel import mesh as mesh_lib
+
+  return jax.jit(
+      layout,
+      out_shardings=(
+          mesh_lib.data_sharding_t(mesh), mesh_lib.data_sharding(mesh)
+      ),
+  )
 
 
 def valid_row_weights(data_size: int, shards: int) -> jnp.ndarray:

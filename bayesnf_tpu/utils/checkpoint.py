@@ -51,11 +51,19 @@ class TrainState:
         epoch=epoch,
     )
 
-  def opt_state(self, template):
-    """Rebuild the optimizer state pytree from a same-structure template."""
+  def opt_state(self, template, place=None):
+    """Rebuild the optimizer state pytree from a same-structure template.
+
+    `place` overrides the per-leaf device placement (default: plain
+    `jnp.asarray`). Trainers pass a sharded `jax.device_put` so restored
+    state lands directly in the train program's layout — a host->device
+    transfer, compiling nothing (placing single-device arrays onto a mesh
+    afterwards would compile one reshard program per leaf shape).
+    """
     treedef = jax.tree_util.tree_structure(template)
+    place = jnp_asarray if place is None else place
     return jax.tree_util.tree_unflatten(
-        treedef, [jnp_asarray(l) for l in self.opt_leaves]
+        treedef, [place(l) for l in self.opt_leaves]
     )
 
   def to_pytree(self):

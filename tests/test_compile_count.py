@@ -1,0 +1,83 @@
+"""Cold-fit compile-count regression guard (docs/roadmap.md item 3).
+
+A cold `fit` used to trigger ~120 primitive-sized eager-setup compiles
+(un-jitted vmapped init, eager seasonal encode, opt-state templates,
+per-leaf reshards) — harmless on a PCIe host but ~0.5 s of service RPC
+EACH on a remote-attached TPU. The setup path now runs as a handful of
+jitted programs (trainer `init_all`, `minibatch.make_layout_fn`,
+`field.aug_features_device`), with outputs born in the train program's
+sharding. This test pins the program count so an innocent-looking eager
+`jnp.*` call in the fit path can't silently re-open the regression.
+
+Runs the fit in a SUBPROCESS with the persistent compilation cache
+disabled, counting `jax_log_compiles` records — in-process counting
+would see this suite's warm cache and already-imported jit wrappers.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_FIT_SCRIPT = r"""
+import io, logging
+import numpy as np
+import jax
+jax.config.update('jax_log_compiles', True)
+stream = io.StringIO()
+logging.getLogger('jax._src.dispatch').addHandler(logging.StreamHandler(stream))
+logging.getLogger('jax._src.dispatch').setLevel(logging.WARNING)
+
+import pandas as pd
+from bayesnf_tpu import BayesianNeuralFieldMAP
+
+rng = np.random.default_rng(0)
+n = 200
+df = pd.DataFrame({
+    'lat': rng.uniform(0, 1, n),
+    'time': np.arange(n, dtype=float),
+    'y': rng.normal(size=n),
+})
+model = BayesianNeuralFieldMAP(
+    width=32, depth=2, seasonality_periods=[12.0],
+    feature_cols=['lat', 'time'], target_col='y',
+    observation_model='NORMAL', timetype='float',
+)
+model.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=8,
+          num_epochs=2, batch_size=50)
+names = []
+for line in stream.getvalue().splitlines():
+  if 'Finished XLA compilation of' in line:
+    names.append(line.split('Finished XLA compilation of ')[1].split(' in ')[0])
+print('COMPILED::' + '|'.join(names))
+"""
+
+
+@pytest.mark.slow
+def test_cold_fit_compile_count_stays_small(tmp_path):
+  env = dict(os.environ)
+  env['JAX_PLATFORMS'] = 'cpu'
+  env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+  # A warm persistent cache would hide re-introduced programs' compile
+  # cost but NOT their count (log_compiles logs cache hits as compiles
+  # only in some versions) — disable it so the count is deterministic.
+  env['JAX_COMPILATION_CACHE_DIR'] = str(tmp_path / 'never_warm')
+  out = subprocess.run(
+      [sys.executable, '-c', _FIT_SCRIPT],
+      env=env,
+      capture_output=True,
+      text=True,
+      timeout=900,
+      cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+  )
+  assert out.returncode == 0, out.stderr[-4000:]
+  marker = [l for l in out.stdout.splitlines() if l.startswith('COMPILED::')]
+  assert marker, out.stdout[-2000:]
+  names = [n for n in marker[0][len('COMPILED::'):].split('|') if n]
+  # Round-4 measured floor: 7 programs (convert_element_type x2 for the
+  # two scalar seeds, _threefry_seed, init_all, layout, the estimator
+  # encode, member_train). Headroom to 12 tolerates JAX-version drift in
+  # singleton utilities; the eager-setup regression this guards against
+  # shows up as +40 programs, far past the bound.
+  assert len(names) <= 12, (len(names), names)
