@@ -43,19 +43,25 @@ from bayesnf_tpu.parallel import mesh as mesh_lib
 
 @functools.partial(
     jax.jit,
-    static_argnames=('config', 'distribution', 'chunk_size', 'mesh', 'backend'),
+    static_argnames=(
+        'config', 'distribution', 'chunk_size', 'mesh', 'backend',
+        'ensemble_dims',
+    ),
 )
 def _forecast_params_chunked(
     config, distribution, params_flat, aug, chunk_size=4096, mesh=None,
-    backend='xla',
+    backend='xla', ensemble_dims=None,
 ):
   """Per-member forecast distribution parameters over all rows.
 
   Args:
     config: static model config.
     distribution: observation model.
-    params_flat: flat param tuple, leading member axis K.
-    aug: (N, D + 2F) inputs with seasonal features appended.
+    params_flat: flat param tuple, leading member axis K — or, with
+      `ensemble_dims` set, leaves carrying that many leading ensemble
+      axes (flattened to K in-program).
+    aug: (N, D + 2F) inputs with seasonal features appended — or, with
+      `ensemble_dims` set, the raw (N, D) features (encoded in-program).
     chunk_size: rows per device-side chunk (4096 measured fastest on
       v5e at the flagship width-512 / 64-member scale; the reference's
       1024 is a host-loop chunk, inference.py:134).
@@ -71,8 +77,22 @@ def _forecast_params_chunked(
 
   Returns:
     Tuple of arrays; per-observation entries have shape (K, N), scalar
-    entries (per-member constants) have shape (K,).
+    entries (per-member constants) have shape (K,) — with
+    `ensemble_dims` set, K expands back to the leading ensemble axes.
   """
+  ens_shape = None
+  if ensemble_dims is not None:
+    # In-program flatten + encode (the distribution-object path,
+    # `forecast_params_bnf`): done eagerly these were ~20 primitive-sized
+    # programs per call — each ~0.5 s of service RPC on a remote-attached
+    # device (docs/roadmap.md item 3).
+    ens_shape = params_flat[0].shape[:ensemble_dims]
+    params_flat = tuple(
+        p.reshape((-1,) + p.shape[ensemble_dims:]) for p in params_flat
+    )
+    aug = jnp.concatenate(
+        [aug, field_lib.seasonal_features_for(config, aug)], axis=-1
+    )
   d = config.num_inputs
   n = aug.shape[0]
   if mesh is not None:
@@ -179,6 +199,8 @@ def _forecast_params_chunked(
       )
     else:
       merged.append(leaf[0])
+  if ens_shape is not None:
+    merged = [m.reshape(ens_shape + m.shape[1:]) for m in merged]
   return tuple(merged)
 
 
@@ -354,24 +376,18 @@ def forecast_params_bnf(
       _prepare_predict_inputs(features, params, mesh, backend)
   )
 
-  ens_shape = params[0].shape[:ensemble_dims]
-  k = int(np.prod(ens_shape))
-  params_flat = tuple(
-      p.reshape((k,) + p.shape[ensemble_dims:]) for p in params
-  )
-  seasonal = field_lib.seasonal_features_for(config, features)
-  aug = jnp.concatenate([features, seasonal], axis=-1)
-
   def run(resolved):
+    # Flatten/encode/reshape all happen inside the one jitted program
+    # (static `ensemble_dims`) — no eager per-leaf setup dispatches.
     return _forecast_params_chunked(
-        config, distribution, params_flat, aug, chunk_size=int(chunk_size),
-        mesh=mesh, backend=resolved,
+        config, distribution, params, features, chunk_size=int(chunk_size),
+        mesh=mesh, backend=resolved, ensemble_dims=int(ensemble_dims),
     )
 
   fp = _run_with_pallas_fallback(run, backend, auto_resolved)
   if multiproc:
     fp = tuple(distributed_lib.host_value(f) for f in fp)
-  return tuple(f.reshape(ens_shape + f.shape[1:]) for f in fp)
+  return fp
 
 
 def predict_bnf(
