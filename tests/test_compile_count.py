@@ -44,13 +44,22 @@ model = BayesianNeuralFieldMAP(
     feature_cols=['lat', 'time'], target_col='y',
     observation_model='NORMAL', timetype='float',
 )
+def drain():
+  names = []
+  for line in stream.getvalue().splitlines():
+    if 'Finished XLA compilation of' in line:
+      names.append(line.split('Finished XLA compilation of ')[1].split(' in ')[0])
+  stream.truncate(0)
+  stream.seek(0)
+  return names
+
 model.fit(df, seed=jax.random.PRNGKey(0), ensemble_size=8,
           num_epochs=2, batch_size=50)
-names = []
-for line in stream.getvalue().splitlines():
-  if 'Finished XLA compilation of' in line:
-    names.append(line.split('Finished XLA compilation of ')[1].split(' in ')[0])
-print('COMPILED::' + '|'.join(names))
+print('FIT::' + '|'.join(drain()))
+model.predict(df, quantiles=(0.5, 0.025, 0.975))
+print('PREDICT::' + '|'.join(drain()))
+model.likelihood_model(df)
+print('LM::' + '|'.join(drain()))
 """
 
 
@@ -72,12 +81,22 @@ def test_cold_fit_compile_count_stays_small(tmp_path):
       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
   )
   assert out.returncode == 0, out.stderr[-4000:]
-  marker = [l for l in out.stdout.splitlines() if l.startswith('COMPILED::')]
-  assert marker, out.stdout[-2000:]
-  names = [n for n in marker[0][len('COMPILED::'):].split('|') if n]
-  # Round-4 measured floor: 7 programs (convert_element_type x2 for the
-  # two scalar seeds, _threefry_seed, init_all, layout, the estimator
-  # encode, member_train). Headroom to 12 tolerates JAX-version drift in
+
+  def names_for(tag):
+    marker = [l for l in out.stdout.splitlines() if l.startswith(tag + '::')]
+    assert marker, (tag, out.stdout[-2000:])
+    return [n for n in marker[0][len(tag) + 2:].split('|') if n]
+
+  # Round-4 measured floors: fit = 7 programs (convert_element_type x2
+  # for the two scalar seeds, _threefry_seed, init_all, layout, the
+  # estimator encode, member_train); cold predict = 1 (the whole predict
+  # is one program); cold likelihood_model = 2 (_forecast_params_chunked
+  # + the newaxis broadcast). Headroom tolerates JAX-version drift in
   # singleton utilities; the eager-setup regression this guards against
-  # shows up as +40 programs, far past the bound.
-  assert len(names) <= 12, (len(names), names)
+  # shows up as tens of extra programs, far past each bound.
+  fit = names_for('FIT')
+  assert len(fit) <= 12, (len(fit), fit)
+  predict = names_for('PREDICT')
+  assert len(predict) <= 4, (len(predict), predict)
+  lm = names_for('LM')
+  assert len(lm) <= 6, (len(lm), lm)
