@@ -177,7 +177,7 @@ def unpack(archive: str, dest: str, flatten_known: bool = True) -> None:
             raise SystemExit(
                 f'archive carries two different copies of {base!r} '
                 f'({prior[0]!r} and {name!r}); cannot decide which is the '
-                'dataset — unpack with flatten disabled and place the '
+                'dataset — re-run with --no-flatten and place the '
                 'right one at the data root yourself.'
             )
           continue  # identical duplicate: keep the first
@@ -215,6 +215,12 @@ def main(argv=None):
                            'header carries the registry columns')
   parser.add_argument('--datasets', nargs='*', default=None,
                       help='subset to verify (default: all six)')
+  parser.add_argument('--no-flatten', action='store_true',
+                      help='unpack the archive tree as-is (no basename '
+                           'flattening) — the recovery path when the '
+                           'archive carries two different copies of an '
+                           'expected CSV; place the right one at the '
+                           'data root yourself afterwards')
   args = parser.parse_args(argv)
 
   if args.list_mode:
@@ -238,7 +244,7 @@ def main(argv=None):
       archive = os.path.join(args.dest, 'datasets.zip')
       os.makedirs(args.dest, exist_ok=True)
       download(archive)
-    unpack(archive, args.dest)
+    unpack(archive, args.dest, flatten_known=not args.no_flatten)
 
   problems = verify_layout(args.dest, args.datasets, deep=args.deep)
   if problems:

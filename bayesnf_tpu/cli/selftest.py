@@ -61,8 +61,7 @@ def _workload(rows, width, seed=0):
   y_normal = (rate + rng.normal(scale=0.5, size=rows)).astype(np.float32)
 
   x = jnp.asarray(x)
-  seasonal = field_lib.seasonal_features_for(config, x)
-  aug = jnp.concatenate([x, seasonal], axis=-1)
+  aug = field_lib.aug_features(config, x)
   return config, aug, jnp.asarray(y_normal), jnp.asarray(y_counts)
 
 

@@ -866,12 +866,18 @@ def ensemble_map(
             # With member remix the slice size is the remix WINDOW — a
             # semantic quantity a resume must not change (the shared
             # scheme's slice size is pure transfer granularity and stays
-            # out of the fingerprint).
-            stream_remix=bool(streaming and stream_member_remix),
-            stream_remix_window=(
-                int(stream_chunk_steps)
+            # out of the fingerprint). The keys appear ONLY when remix is
+            # on: feature keys must not churn the fingerprints of runs
+            # that never used the feature (a version upgrade would refuse
+            # every pre-existing checkpoint directory for no reason), and
+            # their absence still distinguishes remix from non-remix.
+            **(
+                dict(
+                    stream_remix=True,
+                    stream_remix_window=int(stream_chunk_steps),
+                )
                 if streaming and stream_member_remix
-                else None
+                else {}
             ),
         ),
     )
@@ -984,7 +990,13 @@ def ensemble_map(
           epoch * num_batches,
           None if checkpointer is None else checkpoint_every * num_batches,
       )
-    slice_extra_fn = streaming_lib.remix_slice_key_fn(opt_seed)
+    # Built only when remix is on: the fold_in inside is an eager
+    # device dispatch (docs/roadmap.md item 3 discipline).
+    slice_extra_fn = (
+        streaming_lib.remix_slice_key_fn(opt_seed)
+        if stream_member_remix
+        else None
+    )
 
     def make_stream_fn(slice_steps, kernel):
       if kernel not in ('pallas', 'xla'):
@@ -1053,7 +1065,7 @@ def ensemble_map(
             None if checkpointer is None else checkpoint_every * num_batches
         ),
         on_chunk=on_chunk,
-        slice_extra_fn=slice_extra_fn if stream_member_remix else None,
+        slice_extra_fn=slice_extra_fn,
     )
     epoch = num_epochs  # the non-streaming loop below is a no-op
 

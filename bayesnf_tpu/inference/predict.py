@@ -90,9 +90,7 @@ def _forecast_params_chunked(
     params_flat = tuple(
         p.reshape((-1,) + p.shape[ensemble_dims:]) for p in params_flat
     )
-    aug = jnp.concatenate(
-        [aug, field_lib.seasonal_features_for(config, aug)], axis=-1
-    )
+    aug = field_lib.aug_features(config, aug)
   d = config.num_inputs
   n = aug.shape[0]
   if mesh is not None:
@@ -231,8 +229,7 @@ def _make_predict_fn(
     params_flat = tuple(
         p.reshape((k,) + p.shape[ensemble_dims:]) for p in params
     )
-    seasonal = field_lib.seasonal_features_for(config, features)
-    aug = jnp.concatenate([features, seasonal], axis=-1)
+    aug = field_lib.aug_features(config, features)
 
     fp = _forecast_params_chunked(
         config, distribution, params_flat, aug, chunk_size=chunk_size,
@@ -251,16 +248,7 @@ def _make_predict_fn(
       return means, tuple(forecast_quantiles)
 
     total_count, logits, *maybe_pi = fp
-    if distribution == likelihoods.LikelihoodDist.NB:
-      obs_d = dist_lib.NegativeBinomial(
-          total_count=total_count[..., jnp.newaxis], logits=logits
-      )
-    else:
-      obs_d = dist_lib.ZeroInflatedNegativeBinomial(
-          total_count=total_count[..., jnp.newaxis],
-          logits=logits,
-          inflated_loc_probs=maybe_pi[0],
-      )
+    obs_d = dist_lib.count_obs_dist(total_count, logits, *maybe_pi)
     forecast_means = obs_d.mean()
     forecast_quantiles = tuple(
         quantiles_lib.count_mixture_quantile_root(obs_d, q, ensemble_axes=axis)

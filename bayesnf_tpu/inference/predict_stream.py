@@ -82,8 +82,7 @@ def _make_stream_forward_fn(
   """
 
   def fwd(params_flat, x_chunk, valid):
-    seasonal = field_lib.seasonal_features_for(config, x_chunk)
-    aug = jnp.concatenate([x_chunk, seasonal], axis=-1)
+    aug = field_lib.aug_features(config, x_chunk)
     fp = predict_lib._forecast_params_chunked(  # pylint: disable=protected-access
         config, distribution, params_flat, aug, chunk_size=chunk_size,
         mesh=mesh, backend=backend,
@@ -97,16 +96,7 @@ def _make_stream_forward_fn(
       )
       return fp, stats
     total_count, logits, *maybe_pi = fp
-    if distribution == likelihoods.LikelihoodDist.NB:
-      obs_d = dist_lib.NegativeBinomial(
-          total_count=total_count[..., jnp.newaxis], logits=logits
-      )
-    else:
-      obs_d = dist_lib.ZeroInflatedNegativeBinomial(
-          total_count=total_count[..., jnp.newaxis],
-          logits=logits,
-          inflated_loc_probs=maybe_pi[0],
-      )
+    obs_d = dist_lib.count_obs_dist(total_count, logits, *maybe_pi)
     obs_mean = obs_d.mean()
     stats = (
         jnp.amax(jnp.where(mask, obs_mean, -jnp.inf)),
@@ -152,16 +142,7 @@ def _make_stream_quantile_fn(
     return jax.jit(quant)
 
   def quant_count(total_count, logits, maybe_pi, max_mean, max_std):
-    if distribution == likelihoods.LikelihoodDist.NB:
-      obs_d = dist_lib.NegativeBinomial(
-          total_count=total_count[..., jnp.newaxis], logits=logits
-      )
-    else:
-      obs_d = dist_lib.ZeroInflatedNegativeBinomial(
-          total_count=total_count[..., jnp.newaxis],
-          logits=logits,
-          inflated_loc_probs=maybe_pi[0],
-      )
+    obs_d = dist_lib.count_obs_dist(total_count, logits, *maybe_pi)
     return tuple(
         quantiles_lib.count_mixture_quantile_root(
             obs_d, q, ensemble_axes=axis, stats=(max_mean, max_std)
@@ -256,11 +237,15 @@ def _stream_forecast_params(
           for l in leaves
       ]
     for i, leaf in enumerate(leaves):
-      host = io.fetch(leaf)
-      if host.ndim == 2:
-        buffers[i][:, lo:hi] = host[:, : hi - lo]
-      else:
-        scalar_leaves[i] = host
+      if np.ndim(leaf) == 2:
+        buffers[i][:, lo:hi] = io.fetch(leaf)[:, : hi - lo]
+      elif i not in scalar_leaves:
+        # Scalar leaves are chunk-invariant (per-member constants):
+        # fetch once instead of re-transferring (and, on multi-process
+        # meshes, re-gathering) identical values every chunk. Every
+        # process stores on the same first chunk, so collective counts
+        # stay aligned.
+        scalar_leaves[i] = io.fetch(leaf)
     chunk_stats = tuple(io.fetch(s) for s in chunk_stats)
     if stats is None:
       stats = chunk_stats

@@ -864,13 +864,16 @@ def fit_vi(
             # Streaming uses the shared host-side batch scheme — resuming
             # one scheme under the other would silently change batches.
             stream=streaming,
-            # With member remix the slice size is the remix window (see
-            # inference/map.py).
-            stream_remix=bool(streaming and stream_member_remix),
-            stream_remix_window=(
-                int(stream_chunk_steps)
+            # With member remix the slice size is the remix window; keys
+            # appear ONLY when remix is on so feature keys never churn
+            # pre-existing non-remix fingerprints (see inference/map.py).
+            **(
+                dict(
+                    stream_remix=True,
+                    stream_remix_window=int(stream_chunk_steps),
+                )
                 if streaming and stream_member_remix
-                else None
+                else {}
             ),
         ),
     )
@@ -984,7 +987,13 @@ def fit_vi(
           step,
           None if checkpointer is None else checkpoint_every,
       )
-    slice_extra_fn = streaming_lib.remix_slice_key_fn(opt_seed)
+    # Built only when remix is on: the fold_in inside is an eager
+    # device dispatch (docs/roadmap.md item 3 discipline).
+    slice_extra_fn = (
+        streaming_lib.remix_slice_key_fn(opt_seed)
+        if stream_member_remix
+        else None
+    )
 
     def make_stream_fn(slice_steps, kernel):
       if kernel not in ('pallas', 'xla'):
@@ -1051,7 +1060,7 @@ def fit_vi(
                 None if checkpointer is None else checkpoint_every
             ),
             on_chunk=on_chunk,
-            slice_extra_fn=slice_extra_fn if stream_member_remix else None,
+            slice_extra_fn=slice_extra_fn,
         )
     )
     step = num_steps  # the non-streaming loop below is a no-op

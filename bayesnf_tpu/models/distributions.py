@@ -160,6 +160,24 @@ class ZeroInflatedNegativeBinomial:
     return jnp.where(inflate, 0.0, nb_draw)
 
 
+def count_obs_dist(total_count, logits, inflated_loc_probs=None):
+  """Count observation distribution from flat forecast parameters.
+
+  THE construction shared by every predict-path site (the in-memory
+  predictor, both streamed-predict passes, `likelihood_model`):
+  per-member scalar `total_count` broadcasts over the per-row `logits`
+  via a trailing axis. The streamed-vs-in-memory bit-identity contract
+  requires every site to build the object identically, so none of them
+  may inline this.
+  """
+  tc = total_count[..., jnp.newaxis]
+  if inflated_loc_probs is None:
+    return NegativeBinomial(total_count=tc, logits=logits)
+  return ZeroInflatedNegativeBinomial(
+      total_count=tc, logits=logits, inflated_loc_probs=inflated_loc_probs
+  )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Independent:

@@ -364,9 +364,21 @@ def seasonal_features_for(config: FieldConfig, x: jax.Array) -> jax.Array:
   )
 
 
+def aug_features(config: FieldConfig, x: jax.Array) -> jax.Array:
+  """`[x | seasonal features]`, traceable — THE encode composition.
+
+  Every consumer (fit-time setup, the in-memory predictor, the streamed
+  predictor's pass-1 program) must append seasonal features through this
+  one definition: the streamed-vs-in-memory bit-identity contract and
+  train/predict feature agreement depend on the ordering and math being
+  identical at every site.
+  """
+  return jnp.concatenate([x, seasonal_features_for(config, x)], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=('config',))
 def _aug_features_jit(config, x):
-  return jnp.concatenate([x, seasonal_features_for(config, x)], axis=-1)
+  return aug_features(config, x)
 
 
 def aug_features_device(config: FieldConfig, x) -> jax.Array:

@@ -453,14 +453,9 @@ class BayesianNeuralFieldEstimator:
     if distribution == likelihoods.LikelihoodDist.NORMAL:
       loc, scale = fp
       base = dist_lib.Normal(loc, scale[..., jnp.newaxis])
-    elif distribution == likelihoods.LikelihoodDist.NB:
-      total_count, logits = fp
-      base = dist_lib.NegativeBinomial(total_count[..., jnp.newaxis], logits)
     else:
-      total_count, logits, pi = fp
-      base = dist_lib.ZeroInflatedNegativeBinomial(
-          total_count[..., jnp.newaxis], logits, pi
-      )
+      total_count, logits, *maybe_pi = fp
+      base = dist_lib.count_obs_dist(total_count, logits, *maybe_pi)
     return dist_lib.Independent(base, 1)
 
 

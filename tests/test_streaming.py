@@ -415,6 +415,28 @@ class TestMemberRemix:
     for a, b in zip(p_ref, p_res):
       np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+  def test_remix_checkpoint_refuses_shared_resume(self, tmp_path):
+    # Remix and shared-permutation streams compose different batches; the
+    # remix keys enter the fingerprint ONLY when remix is on (so non-remix
+    # fingerprints never churn across versions), but their absence must
+    # still distinguish the two schemes and refuse a cross-resume.
+    config, aug, y = _setup()
+    ckdir = str(tmp_path / 'ck')
+    map_lib.ensemble_map(
+        aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=3, learning_rate=0.01, num_epochs=2,
+        seed=jax.random.PRNGKey(0), batch_size=10, backend='xla',
+        stream_chunk_steps=5, checkpoint_dir=ckdir, checkpoint_every=2,
+    )
+    with pytest.raises(ValueError, match='different configuration'):
+      map_lib.ensemble_map(
+          aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+          ensemble_size=3, learning_rate=0.01, num_epochs=4,
+          seed=jax.random.PRNGKey(0), batch_size=10, backend='xla',
+          stream_chunk_steps=5, stream_member_remix=True,
+          checkpoint_dir=ckdir, checkpoint_every=2,
+      )
+
   def test_remix_misaligned_checkpoint_raises(self, tmp_path):
     config, aug, y = _setup()
     with pytest.raises(ValueError, match='remix window'):
