@@ -60,7 +60,11 @@ def _run_workers(data_devices_per_host, ckpt_dir=None):
   ]
   results = {}
   for p in procs:
-    out, err = p.communicate(timeout=600)
+    # Generous bound: the workers compile dozens of programs and the
+    # suite runs under pytest -n parallel load — 600 s flaked once under
+    # a 4-way xdist run while the bench occupied the host; alone the
+    # pair finishes in ~200 s.
+    out, err = p.communicate(timeout=1500)
     assert p.returncode == 0, f'worker failed:\n{out}\n{err}'
     for line in out.splitlines():
       if line.startswith('WORKER_RESULT '):
