@@ -334,6 +334,7 @@ def forecast_params_bnf(
     mesh=None,
     backend: str = 'auto',
     stream_chunk_rows: int | None = None,
+    stream_cache_bytes: int = 1 << 30,
 ):
   """Per-member forecast distribution parameters at new points.
 
@@ -357,6 +358,7 @@ def forecast_params_bnf(
         features, observation_model, params, config,
         ensemble_dims=ensemble_dims, chunk_size=chunk_size, mesh=mesh,
         backend=backend, stream_chunk_rows=stream_chunk_rows,
+        stream_cache_bytes=stream_cache_bytes,
     )
   distribution = likelihoods.LikelihoodDist(observation_model)
   assert ensemble_dims >= 1
@@ -390,6 +392,7 @@ def predict_bnf(
     mesh=None,
     backend: str = 'auto',
     stream_chunk_rows: int | None = None,
+    stream_cache_bytes: int = 1 << 30,
 ):
   """Predict means and mixture quantiles at new points.
 
@@ -419,6 +422,10 @@ def predict_bnf(
       host numpy buffers — device memory stays O(chunk) instead of
       O(members x N), the predict-side twin of `stream_chunk_steps`
       training. Bit-identical outputs (`inference/predict_stream.py`).
+    stream_cache_bytes: streamed-predict device cache budget in bytes
+      (default 1 GiB; 0 disables): pass-2 root-find inputs stay
+      device-resident up to this budget so in-budget grids stream with
+      zero re-upload traffic. Ignored without `stream_chunk_rows`.
 
   Returns:
     (means, [quantile arrays]): means keeps the ensemble axes,
@@ -432,6 +439,7 @@ def predict_bnf(
         ensemble_dims=ensemble_dims,
         approximate_quantiles=approximate_quantiles, chunk_size=chunk_size,
         mesh=mesh, backend=backend, stream_chunk_rows=stream_chunk_rows,
+        stream_cache_bytes=stream_cache_bytes,
     )
   distribution = likelihoods.LikelihoodDist(observation_model)
   assert ensemble_dims >= 1

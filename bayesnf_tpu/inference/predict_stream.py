@@ -17,13 +17,25 @@ semantics are redesigned to keep the exact-quantile contract:
   forward per chunk, assembles per-row forecast parameters into host
   buffers, and folds each chunk's masked extrema into running statistics
   (min/max are exact, so chunked running extrema equal the whole-array
-  reductions). Pass 2 re-uploads each chunk's parameters and root-finds
-  with the global bracket. Because the Chandrupatla iteration is
-  elementwise per row once the bracket is fixed, the streamed output is
-  **bit-identical** to the in-memory path (tested).
-- **Device memory is O(chunk), not O(N).** Each pass holds one in-flight
-  chunk plus one being assembled (async dispatch gives the double
-  buffering, exactly as in `parallel/streaming.py`).
+  reductions). Pass 2 root-finds each chunk with the global bracket.
+  Because the Chandrupatla iteration is elementwise per row once the
+  bracket is fixed, the streamed output is **bit-identical** to the
+  in-memory path (tested).
+- **Device-resident chunk cache.** Pass 1 keeps each chunk's pass-2
+  parameter leaves alive on the device, chunk by chunk, until a byte
+  budget (`stream_cache_bytes`) is reached; pass 2 consumes cached chunks
+  with ZERO host->device traffic (and, for count models, cached chunks
+  skip the device->host fetch of leaves the public output never needs).
+  Only chunks past the budget spill to host buffers and re-upload —
+  with a one-chunk lookahead so the (async) upload overlaps the previous
+  chunk's root-find. On grids whose pass-2 leaves fit the budget the
+  streamed path therefore transfers exactly what the in-memory path
+  does: the grid up, the public outputs down.
+- **Device memory is O(chunk) + the explicit cache budget, not O(N).**
+  Each pass holds one in-flight chunk plus one being assembled (async
+  dispatch gives the double buffering, exactly as in
+  `parallel/streaming.py`); `stream_cache_bytes=0` restores the strict
+  O(chunk) envelope.
 - **One compiled program per pass.** Every chunk is host-padded to a fixed
   `stream_chunk_rows` shape (the pad tail is masked out of the statistics
   and sliced off the outputs), so the whole streamed predict costs two
@@ -72,16 +84,24 @@ def _make_stream_forward_fn(
 ):
   """Pass-1 program: encode + forecast params + masked bracket extrema.
 
-  Takes (params_flat, x_chunk (rows, D), valid scalar); rows past `valid`
-  are host zero-padding, masked out of the statistics. Returns
-  (per-row leaves (K, rows) / scalar leaves (K,), stats tuple). For count
-  models, `with_count_means` appends the observation means as an extra
-  leaf; when False they are still computed for the bracket statistics but
-  never leave the device (no per-chunk transfer for a leaf the caller
-  would drop).
+  Takes (params_flat, x_chunk (rows, D), valid scalar, stats_in); rows
+  past `valid` are host zero-padding, masked out of the statistics.
+  Returns (per-row leaves (K, rows) / scalar leaves (K,), stats tuple).
+  The running bracket extrema thread THROUGH the program: `stats_in` is
+  the previous chunk's output (seeded with the fold identities), folded
+  in-program — so the global statistics accumulate entirely on the device
+  with zero per-chunk host round-trips (at ~27 ms per round-trip on a
+  remote-tunneled transport the old per-chunk scalar fetches dominated
+  the streamed wall). Chunked min/max folds are exact, so the final
+  stats still equal the in-memory whole-array reductions bit-for-bit.
+
+  For count models, `with_count_means` appends the observation means as
+  an extra leaf; when False they are still computed for the bracket
+  statistics but never leave the device (no per-chunk transfer for a
+  leaf the caller would drop).
   """
 
-  def fwd(params_flat, x_chunk, valid):
+  def fwd(params_flat, x_chunk, valid, stats_in):
     aug = field_lib.aug_features(config, x_chunk)
     fp = predict_lib._forecast_params_chunked(  # pylint: disable=protected-access
         config, distribution, params_flat, aug, chunk_size=chunk_size,
@@ -91,64 +111,89 @@ def _make_stream_forward_fn(
     if distribution == likelihoods.LikelihoodDist.NORMAL:
       means, scale = fp
       stats = (
-          jnp.amin(jnp.where(mask, means, jnp.inf)),
-          jnp.amax(jnp.where(mask, means, -jnp.inf)),
+          jnp.minimum(stats_in[0], jnp.amin(jnp.where(mask, means, jnp.inf))),
+          jnp.maximum(
+              stats_in[1], jnp.amax(jnp.where(mask, means, -jnp.inf))
+          ),
       )
       return fp, stats
     total_count, logits, *maybe_pi = fp
     obs_d = dist_lib.count_obs_dist(total_count, logits, *maybe_pi)
     obs_mean = obs_d.mean()
     stats = (
-        jnp.amax(jnp.where(mask, obs_mean, -jnp.inf)),
-        jnp.amax(jnp.where(mask, obs_d.stddev(), -jnp.inf)),
+        jnp.maximum(
+            stats_in[0], jnp.amax(jnp.where(mask, obs_mean, -jnp.inf))
+        ),
+        jnp.maximum(
+            stats_in[1], jnp.amax(jnp.where(mask, obs_d.stddev(), -jnp.inf))
+        ),
     )
     return (fp + (obs_mean,) if with_count_means else fp), stats
 
   return jax.jit(fwd)
 
 
+def _stats_seed(distribution):
+  """Fold identities for the running bracket extrema."""
+  if distribution == likelihoods.LikelihoodDist.NORMAL:
+    return (np.float32(np.inf), np.float32(-np.inf))  # (min mean, max mean)
+  return (np.float32(-np.inf), np.float32(-np.inf))  # (max mean, max std)
+
+
 @functools.lru_cache(maxsize=32)
 def _make_stream_quantile_fn(
-    distribution, quantiles, ensemble_dims, approximate
+    distribution, quantiles, ens_shape, approximate
 ):
   """Pass-2 program: per-chunk mixture-quantile root-finds, global bracket.
 
-  Takes the chunk's per-row parameter slices (public ensemble axes
-  restored) plus the pass-1 global statistics; computes the bracket from
-  them with the same float ops as the in-memory engine, so the per-lane
-  root trajectories are bit-identical.
+  Takes the chunk's per-row parameter slices in the flat (K, rows) compute
+  layout (the public ensemble axes are restored in-program — no host-side
+  reshape copies) plus the pass-1 global statistics; computes the bracket
+  from them with the same float ops as the in-memory engine, so the
+  per-lane root trajectories are bit-identical. The flat layout is also
+  what pass 1's forward emits, so device-cached chunks feed this program
+  directly, with no host round-trip at all. All quantiles come back as
+  ONE stacked (num_quantiles, rows) array — one fetch per chunk instead
+  of one per quantile (round-trip latency, not bandwidth, dominates the
+  tiny per-quantile results).
   """
-  axis = tuple(range(ensemble_dims))
+  axis = tuple(range(len(ens_shape)))
+
+  def expand(leaf):
+    return leaf.reshape(ens_shape + leaf.shape[1:])
 
   if distribution == likelihoods.LikelihoodDist.NORMAL:
 
     def quant(means, scale, min_mean, max_mean):
-      scales = scale[..., jnp.newaxis]
+      means = expand(means)
+      scales = expand(scale)[..., jnp.newaxis]
       if approximate:
-        return tuple(
+        return jnp.stack([
             quantiles_lib.normal_mixture_quantile_approx(
                 means, scales, q, axis
             )
             for q in quantiles
-        )
-      max_scale = jnp.amax(scale)
-      return tuple(
+        ])
+      max_scale = jnp.amax(scales)
+      return jnp.stack([
           quantiles_lib.normal_mixture_quantile_root(
               means, scales, q, axis, stats=(min_mean, max_mean, max_scale)
           )
           for q in quantiles
-      )
+      ])
 
     return jax.jit(quant)
 
   def quant_count(total_count, logits, maybe_pi, max_mean, max_std):
-    obs_d = dist_lib.count_obs_dist(total_count, logits, *maybe_pi)
-    return tuple(
+    obs_d = dist_lib.count_obs_dist(
+        expand(total_count), expand(logits), *map(expand, maybe_pi)
+    )
+    return jnp.stack([
         quantiles_lib.count_mixture_quantile_root(
             obs_d, q, ensemble_axes=axis, stats=(max_mean, max_std)
         )
         for q in quantiles
-    )
+    ])
 
   return jax.jit(quant_count)
 
@@ -177,6 +222,11 @@ class _ChunkIO:
     self._pending = None
 
   def put(self, x):
+    if isinstance(x, jax.Array):
+      # Already device-resident (a threaded stat, a kept scalar leaf, a
+      # cached chunk): pass through — it was produced under this same
+      # mesh context, so placement is already right.
+      return x
     if self.multiproc:
       return distributed_lib.make_global(x, self._sharding)
     if self._sharding is not None:
@@ -202,14 +252,36 @@ class _ChunkIO:
 
 def _stream_forecast_params(
     features, distribution, params_flat, config, chunk_size, mesh, backend,
-    multiproc, rows, with_count_means,
+    multiproc, rows, with_count_means, host_leaf_ids=None,
+    cache_leaf_ids=(), cache_bytes=0,
 ):
-  """Pass 1: host-chunked forward; returns host leaves + global stats.
+  """Pass 1: host-chunked forward; returns host leaves + stats + cache.
 
   Per-row leaves come back as (K, N) float32 numpy buffers; scalar leaves
   as (K,) numpy; stats as a tuple of numpy f32 scalars (running extrema,
   exact). For count models with `with_count_means`, the observation means
   (the public predict output) are assembled as an extra trailing buffer.
+
+  `cache_leaf_ids` names the per-row leaf indices pass 2 will consume and
+  `host_leaf_ids` (None = all per-row leaves) the leaves the caller needs
+  as host buffers. The union of the two is *retained*: the leading
+  chunks' device arrays for retained leaves stay alive — up to
+  `cache_bytes` total — and come back in the `cache` dict
+  (chunk_index -> {leaf_id: (K, rows) device array}). A cached chunk
+  makes NO device->host transfer at all: cache-only leaves never leave
+  the device, and host-needed leaves assemble AFTER the loop in one
+  batched concat + fetch per leaf (one round-trip instead of one per
+  chunk — latency, not bandwidth, dominates remote transports; the
+  concat transiently doubles that leaf's cached footprint). Host buffers
+  for leaves only ever needed on spill stay None when everything fits.
+  Scalar (per-member constant) leaves and the running bracket statistics
+  also stay device-side until a single fetch at the end. The
+  chunks-cached count is a pure function of shapes and the budget, so
+  multi-process collective schedules stay aligned.
+
+  Returns (leaves, stats, cache): host leaves (None where never
+  fetched), DEVICE stats scalars (exact running extrema — pass 2 feeds
+  them straight back without a host round-trip), and the device cache.
   """
   n, _ = features.shape
   k = int(params_flat[0].shape[0])
@@ -223,55 +295,76 @@ def _stream_forecast_params(
   )
   io = _ChunkIO(mesh, multiproc)
 
+  retained_ids = tuple(
+      sorted(
+          set(cache_leaf_ids)
+          | (set(host_leaf_ids) if host_leaf_ids is not None else set())
+      )
+  ) if cache_bytes else ()
+  num_chunks = -(-n // rows)
+  per_chunk_cache_bytes = len(retained_ids) * k * rows * 4
+  max_cached = (
+      min(num_chunks, int(cache_bytes) // per_chunk_cache_bytes)
+      if per_chunk_cache_bytes
+      else 0
+  )
+  cache = {}
+
   buffers = None
-  scalar_leaves = {}
-  stats = None
+  scalar_dev = {}
+  stats = tuple(io.put(s) for s in _stats_seed(distribution))
+
+  def buffer_for(i):
+    if buffers[i] is None:
+      buffers[i] = np.empty((k, n), dtype=np.float32)
+    return buffers[i]
 
   def store(bounds, out):
-    nonlocal buffers, stats
-    lo, hi = bounds
-    leaves, chunk_stats = out
+    nonlocal buffers
+    lo, hi, cached = bounds
+    leaves, _ = out
     if buffers is None:
-      buffers = [
-          np.empty((k, n), dtype=np.float32) if np.ndim(l) == 2 else None
-          for l in leaves
-      ]
+      buffers = [None] * len(leaves)
     for i, leaf in enumerate(leaves):
       if np.ndim(leaf) == 2:
-        buffers[i][:, lo:hi] = io.fetch(leaf)[:, : hi - lo]
-      elif i not in scalar_leaves:
-        # Scalar leaves are chunk-invariant (per-member constants):
-        # fetch once instead of re-transferring (and, on multi-process
-        # meshes, re-gathering) identical values every chunk. Every
-        # process stores on the same first chunk, so collective counts
-        # stay aligned.
-        scalar_leaves[i] = io.fetch(leaf)
-    chunk_stats = tuple(io.fetch(s) for s in chunk_stats)
-    if stats is None:
-      stats = chunk_stats
-    elif distribution == likelihoods.LikelihoodDist.NORMAL:
-      stats = (
-          np.minimum(stats[0], chunk_stats[0]),
-          np.maximum(stats[1], chunk_stats[1]),
-      )
-    else:
-      stats = tuple(np.maximum(a, b) for a, b in zip(stats, chunk_stats))
+        if not cached:
+          buffer_for(i)[:, lo:hi] = io.fetch(leaf)[:, : hi - lo]
+      elif i not in scalar_dev:
+        # Scalar leaves are chunk-invariant (per-member constants): keep
+        # the first chunk's device array and fetch once after the loop.
+        scalar_dev[i] = leaf
 
-  for lo, hi in _chunk_ranges(n, rows):
+  for ci, (lo, hi) in enumerate(_chunk_ranges(n, rows)):
     x_np = features[lo:hi]
     if hi - lo < rows:
       x_np = np.concatenate(
           [x_np, np.zeros((rows - (hi - lo), x_np.shape[1]), np.float32)]
       )
-    out = fwd(params_flat, io.put(x_np), jnp.int32(hi - lo))
-    io.dispatch((lo, hi), out, store)
+    out = fwd(params_flat, io.put(x_np), jnp.int32(hi - lo), stats)
+    stats = out[1]
+    cached = ci < max_cached
+    if cached:
+      cache[ci] = {i: out[0][i] for i in retained_ids}
+    io.dispatch((lo, hi, cached), out, store)
   io.drain()
 
+  # Deferred assembly: host-needed leaves of the cached range, one
+  # batched device concat + fetch per leaf (the concat and row trim run
+  # on device; only the valid columns transfer).
+  if cache:
+    valid = min(max_cached * rows, n)
+    for i in retained_ids:
+      if host_leaf_ids is None or i in host_leaf_ids:
+        full = jnp.concatenate(
+            [cache[ci][i] for ci in range(max_cached)], axis=1
+        )[:, :valid]
+        buffer_for(i)[:, :valid] = io.fetch(full)
+
   leaves = tuple(
-      scalar_leaves[i] if buf is None else buf
+      scalar_dev[i] if buf is None and i in scalar_dev else buf
       for i, buf in enumerate(buffers)
   )
-  return leaves, stats
+  return leaves, stats, cache
 
 
 def _prepare_streamed_inputs(features, params, ensemble_dims, mesh, backend):
@@ -307,14 +400,18 @@ def forecast_params_bnf_streamed(
     mesh=None,
     backend: str = 'auto',
     stream_chunk_rows: int = 65536,
+    stream_cache_bytes: int = 1 << 30,
 ):
   """Host-streamed twin of `predict.forecast_params_bnf`.
 
   Same contract (per-row leaves `ensemble_shape + (N,)`, scalar leaves
   `ensemble_shape`), but inputs stream from host RAM in
   `stream_chunk_rows`-row chunks and the returned leaves are host numpy
-  buffers — device memory stays O(chunk). Bit-identical to the in-memory
-  path (the forward is row-independent; tested).
+  buffers — device memory stays O(chunk) plus the `stream_cache_bytes`
+  budget (chunks within the budget assemble in one batched fetch per
+  leaf instead of one round-trip per chunk; 0 restores strict O(chunk)).
+  Bit-identical to the in-memory path (the forward is row-independent;
+  tested).
   """
   distribution = likelihoods.LikelihoodDist(observation_model)
   assert ensemble_dims >= 1
@@ -323,13 +420,25 @@ def forecast_params_bnf_streamed(
        features, params, ensemble_dims, mesh, backend
    )
   rows = _resolve_rows(stream_chunk_rows, int(chunk_size), features.shape[0])
+  # Per-row leaf indices of `likelihoods.forecast_params` per model (the
+  # remaining leaves are per-member scalars).
+  if distribution == likelihoods.LikelihoodDist.NORMAL:
+    row_ids = (0,)
+  elif distribution == likelihoods.LikelihoodDist.NB:
+    row_ids = (1,)
+  else:
+    row_ids = (1, 2)
 
   def run(resolved):
-    leaves, _ = _stream_forecast_params(
+    leaves, _, _ = _stream_forecast_params(
         features, distribution, params_flat, config, int(chunk_size), mesh,
         resolved, multiproc, rows, with_count_means=False,
+        host_leaf_ids=row_ids, cache_bytes=stream_cache_bytes,
     )
-    return leaves
+    io = _ChunkIO(mesh, multiproc)
+    return tuple(
+        io.fetch(l) if isinstance(l, jax.Array) else l for l in leaves
+    )
 
   leaves = predict_lib._run_with_pallas_fallback(  # pylint: disable=protected-access
       run, backend, auto_resolved
@@ -349,13 +458,16 @@ def predict_bnf_streamed(
     mesh=None,
     backend: str = 'auto',
     stream_chunk_rows: int = 65536,
+    stream_cache_bytes: int = 1 << 30,
 ):
   """Host-streamed twin of `predict.predict_bnf` (same output contract).
 
   Means come back as a host numpy `ensemble_shape + (N,)` buffer and each
   quantile as a host numpy (N,) array, bit-identical to the in-memory
-  program; device memory stays O(stream_chunk_rows) throughout. See the
-  module docstring for the two-pass global-bracket scheme.
+  program; device memory stays O(stream_chunk_rows) plus the
+  `stream_cache_bytes` pass-2 cache budget throughout (0 disables the
+  cache for a strict O(chunk) envelope). See the module docstring for the
+  two-pass global-bracket scheme and the cache/prefetch design.
   """
   distribution = likelihoods.LikelihoodDist(observation_model)
   assert ensemble_dims >= 1
@@ -368,58 +480,101 @@ def predict_bnf_streamed(
   rows = _resolve_rows(stream_chunk_rows, chunk_size, n)
   q_tuple = tuple(float(q) for q in quantiles)
 
+  # Leaf roles per observation model: which pass-1 per-row leaves the
+  # public output needs on host, and which ones pass 2 root-finds on
+  # (cached device-side up to the budget).
+  if distribution == likelihoods.LikelihoodDist.NORMAL:
+    host_ids, cache_ids = (0,), (0,)   # means: public output AND pass-2 input
+  elif distribution == likelihoods.LikelihoodDist.NB:
+    host_ids, cache_ids = (2,), (1,)   # obs means public; logits pass-2 only
+  else:
+    host_ids, cache_ids = (3,), (1, 2)  # + zero-inflation logit
+
   def run(resolved):
-    leaves, stats = _stream_forecast_params(
+    leaves, stats, cache = _stream_forecast_params(
         features, distribution, params_flat, config, chunk_size, mesh,
         resolved, multiproc, rows, with_count_means=True,
+        host_leaf_ids=host_ids, cache_leaf_ids=cache_ids,
+        cache_bytes=stream_cache_bytes,
     )
     quant = _make_stream_quantile_fn(
-        distribution, q_tuple, int(ensemble_dims), bool(approximate_quantiles)
+        distribution, q_tuple, ens_shape, bool(approximate_quantiles)
     )
     io = _ChunkIO(mesh, multiproc)
     q_out = [np.empty((n,), dtype=np.float32) for _ in q_tuple]
 
-    def pad(buf, lo, hi):
-      """Chunk slice of a (K, N) buffer, zero-padded to `rows` columns,
-      with the public ensemble axes restored."""
+    def pad_flat(buf, lo, hi):
+      """Chunk slice of a (K, N) host buffer, zero-padded to `rows`
+      columns (the compute layout — ensemble axes restore in-program)."""
       sl = buf[:, lo:hi]
       if hi - lo < rows:
         sl = np.concatenate(
             [sl, np.zeros((sl.shape[0], rows - (hi - lo)), np.float32)], -1
         )
-      return sl.reshape(ens_shape + (rows,))
+      return sl
+
+    def chunk_inputs(ci, lo, hi):
+      """Pass-2 per-row leaves for chunk `ci`: device-cached arrays when
+      pass 1 kept them, else (async) uploads of the host-buffer slices."""
+      if ci in cache:
+        return tuple(cache[ci][i] for i in cache_ids)
+      return tuple(
+          io.put(pad_flat(leaves[i], lo, hi)) for i in cache_ids
+      )
 
     def store(bounds, out):
       lo, hi = bounds
-      for dst, got in zip(q_out, out):
-        dst[lo:hi] = io.fetch(got)[: hi - lo]
+      got = io.fetch(out)  # ONE stacked (num_quantiles, rows) fetch
+      for qi, dst in enumerate(q_out):
+        dst[lo:hi] = got[qi, : hi - lo]
 
     if distribution == likelihoods.LikelihoodDist.NORMAL:
       means_buf, scale = leaves
-      scale_dev = io.put(scale.reshape(ens_shape))
-      s0 = io.put(stats[0])
-      s1 = io.put(stats[1])
-      for lo, hi in _chunk_ranges(n, rows):
-        out = quant(io.put(pad(means_buf, lo, hi)), scale_dev, s0, s1)
-        io.dispatch((lo, hi), out, store)
-      io.drain()
-      means = means_buf.reshape(ens_shape + (n,))
-      return means, list(q_out)
-
-    if distribution == likelihoods.LikelihoodDist.NB:
-      total_count, logits_buf, mean_buf = leaves
-      pi_buf = None
+      head = io.put(scale)
+    elif distribution == likelihoods.LikelihoodDist.NB:
+      total_count, _, mean_buf = leaves
+      head = io.put(total_count)
     else:
-      total_count, logits_buf, pi_buf, mean_buf = leaves
-    tc_dev = io.put(total_count.reshape(ens_shape))
-    s0 = io.put(stats[0])
-    s1 = io.put(stats[1])
-    for lo, hi in _chunk_ranges(n, rows):
-      maybe_pi = (io.put(pad(pi_buf, lo, hi)),) if pi_buf is not None else ()
-      out = quant(tc_dev, io.put(pad(logits_buf, lo, hi)), maybe_pi, s0, s1)
-      io.dispatch((lo, hi), out, store)
+      total_count, _, _, mean_buf = leaves
+      head = io.put(total_count)
+    s0, s1 = stats  # device scalars — no host round-trip
+
+    ranges = list(_chunk_ranges(n, rows))
+    # One-chunk lookahead: a spilled chunk's upload is initiated before
+    # the previous chunk's result fetch blocks, so host->device transfer
+    # overlaps the device root-find (cached chunks make this a no-op).
+    # Cached chunks' stacked quantile outputs stay on device (tiny:
+    # num_quantiles rows per chunk) and assemble in ONE batched
+    # concat + fetch after the loop; spilled chunks fetch through the
+    # depth-1 pipeline, one stacked transfer each.
+    q_cached_dev = []
+    pending_inputs = chunk_inputs(0, *ranges[0])
+    for ci, (lo, hi) in enumerate(ranges):
+      ins, pending_inputs = pending_inputs, None
+      if ci + 1 < len(ranges):
+        pending_inputs = chunk_inputs(ci + 1, *ranges[ci + 1])
+      if distribution == likelihoods.LikelihoodDist.NORMAL:
+        out = quant(ins[0], head, s0, s1)
+      else:
+        out = quant(head, ins[0], ins[1:], s0, s1)
+      if ci in cache:
+        q_cached_dev.append(out)
+      else:
+        io.dispatch((lo, hi), out, store)
+      # A consumed spilled chunk's device buffers free as soon as the
+      # root-find retires; cached chunks stay alive by design (the cache
+      # budget is the explicit bound).
     io.drain()
-    means = mean_buf.reshape(ens_shape + (n,))
+    if q_cached_dev:
+      valid = min(len(q_cached_dev) * rows, n)
+      got = io.fetch(jnp.concatenate(q_cached_dev, axis=1)[:, :valid])
+      for qi, dst in enumerate(q_out):
+        dst[:valid] = got[qi]
+
+    if distribution == likelihoods.LikelihoodDist.NORMAL:
+      means = means_buf.reshape(ens_shape + (n,))
+    else:
+      means = mean_buf.reshape(ens_shape + (n,))
     return means, list(q_out)
 
   return predict_lib._run_with_pallas_fallback(  # pylint: disable=protected-access

@@ -237,7 +237,8 @@ class BayesianNeuralFieldEstimator:
     return device
 
   def predict(self, table, quantiles=(0.5,), approximate_quantiles=False,
-              backend='auto', stream_chunk_rows=None):
+              backend='auto', stream_chunk_rows=None,
+              stream_cache_bytes=None):
     """Predict the target at new field points.
 
     Args:
@@ -254,6 +255,11 @@ class BayesianNeuralFieldEstimator:
         `fit(stream_chunk_steps=...)`: a model trained by streaming can
         predict on a grid of the same scale. Outputs are bit-identical
         to the in-memory path.
+      stream_cache_bytes: streamed-predict device cache budget in bytes
+        (default 1 GiB; 0 disables). Pass-2 root-find inputs stay
+        device-resident up to this budget, so grids within it stream
+        with zero re-upload traffic; only grids beyond it spill to host
+        buffers. Ignored without `stream_chunk_rows`.
 
     Returns:
       (means, quantiles): means has the ensemble leading dims
@@ -276,6 +282,11 @@ class BayesianNeuralFieldEstimator:
         mesh=self.mesh_,
         backend=backend,
         stream_chunk_rows=stream_chunk_rows,
+        **(
+            {}
+            if stream_cache_bytes is None
+            else {'stream_cache_bytes': int(stream_cache_bytes)}
+        ),
     )
 
   def fit(self, table, seed, **kwargs):
