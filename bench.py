@@ -35,6 +35,57 @@ from bayesnf_tpu.utils import profiling
 
 BASELINE_MEMBER_STEPS_PER_SEC_PER_CHIP = 27.8
 
+# Per-chip dense peak for MFU accounting, by `jax.Device.device_kind`
+# prefix. v5e: 197 TFLOP/s bf16 (f32 accumulation) — the mode the
+# trainers run in on TPU (BENCH_PRECISION default 'bf16' above).
+_PEAK_BF16_TFLOPS = {
+    'TPU v5 lite': 197.0,   # v5e
+    'TPU v5': 459.0,        # v5p
+    'TPU v4': 275.0,
+}
+
+
+def _peak_tflops():
+  kind = jax.devices()[0].device_kind
+  # Longest-prefix match so 'TPU v5 lite...' resolves to v5e, not v5p.
+  best = None
+  for prefix, peak in _PEAK_BF16_TFLOPS.items():
+    if kind.startswith(prefix) and (best is None or len(prefix) > best[0]):
+      best = (len(prefix), peak)
+  return best[1] if best else None
+
+
+def _matmul_flops_per_row(config):
+  """Forward matmul FLOPs per row per member: sum of 2*fan_in*fan_out.
+
+  Counts only the dense layers (the MXU work — the quantity MFU is
+  defined over); encode trig, activation blend, and likelihood terms are
+  elementwise VPU work excluded by convention. Model FLOPs, not hardware
+  FLOPs: rematerialized forwards (none on the flagship fused train-step
+  kernel, which saves activations in VMEM) would not be counted either.
+  """
+  from bayesnf_tpu.models import field as field_lib
+
+  return sum(
+      2 * int(np.prod(spec.shape))
+      for spec in field_lib.param_specs(config)
+      if spec.is_matrix
+  )
+
+
+def _flops_metrics(prefix, member_steps_per_sec, flops_per_member_step):
+  out = {
+      f'{prefix}_achieved_tflops_per_chip': round(
+          member_steps_per_sec * flops_per_member_step / 1e12, 2
+      )
+  }
+  peak = _peak_tflops()
+  if peak is not None:
+    out[f'{prefix}_mfu_vs_peak_bf16'] = round(
+        member_steps_per_sec * flops_per_member_step / 1e12 / peak, 3
+    )
+  return out
+
 
 def main():
   from bayesnf_tpu.inference import map as map_lib
@@ -301,10 +352,15 @@ def main():
   # Out-of-core streamed predict over the same full grid: rows stream from
   # host RAM in bounded chunks, means + 3 exact quantiles assemble into
   # host buffers. End-to-end host wall time (includes the host<->device
-  # transfers that are the point of this regime — on the remote-tunneled
-  # dev transport these dominate; a PCIe-attached host is ~100x faster on
-  # the transfer share). Non-fatal.
+  # transfers that are the point of this regime). The fair comparison is
+  # the in-memory program at the SAME contract — full host
+  # materialization of means + quantiles — measured alongside as
+  # `predict_host_ms`: on a remote-tunneled transport the shared
+  # result-download dominates both. Best-of-3 with committed per-run
+  # values (the r4 1382-vs-1800 ms drift was transport noise on a
+  # min-of-2 — VERDICT r4 item 7). Non-fatal.
   stream_predict_ms = None
+  predict_host_ms = None
   try:
     from bayesnf_tpu.inference import predict as predict_lib
     import time as _time
@@ -312,22 +368,42 @@ def main():
     p_pub = tuple(px[jnp.newaxis] for px in map_params)  # (1, E, ...)
     x_host = np.asarray(x)
 
-    def run_stream_predict():
+    def run_predict_host(**extra):
       t0 = _time.perf_counter()
       means_s, qs_s = predict_lib.predict_bnf(
           x_host, 'NORMAL', p_pub, config,
           quantiles=(0.5, 0.025, 0.975), ensemble_dims=2,
-          backend=backend, stream_chunk_rows=8192,
+          backend=backend, **extra,
       )
+      means_s = np.asarray(means_s)
+      qs_s = [np.asarray(q) for q in qs_s]
       assert np.isfinite(means_s).all()
       assert all(np.isfinite(q).all() for q in qs_s)
       return (_time.perf_counter() - t0) * 1000.0
 
-    run_stream_predict()  # warm/compile (two programs)
-    stream_predict_ms = min(run_stream_predict() for _ in range(2))
+    run_predict_host()  # warm/compile
+    predict_host_runs = [run_predict_host() for _ in range(3)]
+    predict_host_ms = min(predict_host_runs)
+
+    run_predict_host(stream_chunk_rows=8192)  # warm/compile (two programs)
+    stream_predict_runs = [
+        run_predict_host(stream_chunk_rows=8192) for _ in range(3)
+    ]
+    stream_predict_ms = min(stream_predict_runs)
   except Exception:  # pylint: disable=broad-except
     print('WARNING: streamed predict bench failed:', file=sys.stderr)
     traceback.print_exc(limit=3, file=sys.stderr)
+
+  # FLOPs/MFU accounting (VERDICT r4 item 3): one full-batch member-step
+  # runs forward + backward over every row — backward costs ~2x the
+  # forward's matmuls (grads w.r.t. inputs and weights), so model FLOPs
+  # per member-step = 3 x rows x per-row forward matmul FLOPs. The
+  # flagship fused train-step kernel saves activations in VMEM (no
+  # recompute), so hardware FLOPs equal model FLOPs on this path. One VI
+  # member-step draws `sample_size_divergence` MC samples, each a full
+  # forward+backward.
+  fwd_row_flops = _matmul_flops_per_row(config)
+  map_flops_per_member_step = 3 * n_rows * fwd_row_flops
 
   record = {
       'metric': 'map_member_steps_per_sec_per_chip',
@@ -342,20 +418,41 @@ def main():
       'value_spread_pct': round(
           100.0 * (max(map_runs) - min(map_runs)) / max(map_runs), 1
       ),
+      **_flops_metrics('map', value, map_flops_per_member_step),
   }
   if vi_value is not None:
     record['vi_member_steps_per_sec_per_chip'] = round(vi_value, 2)
+    record.update(
+        _flops_metrics('vi', vi_value, 5 * map_flops_per_member_step)
+    )
   if nb_value is not None:
     record['nb_member_steps_per_sec_per_chip'] = round(nb_value, 2)
+    record.update(
+        _flops_metrics('nb', nb_value, map_flops_per_member_step)
+    )
   if stream_value is not None:
     record['stream_member_steps_per_sec_per_chip'] = round(stream_value, 2)
   if predict_ms is not None:
     record['predict_device_ms_full_grid_3_quantiles'] = round(predict_ms, 1)
     record['predict_ms_runs'] = [round(v, 1) for v in predict_runs]
+  if predict_host_ms is not None:
+    record['predict_host_ms_full_grid_3_quantiles'] = round(
+        predict_host_ms, 1
+    )
+    record['predict_host_ms_runs'] = [
+        round(v, 1) for v in predict_host_runs
+    ]
   if stream_predict_ms is not None:
     record['stream_predict_host_ms_full_grid_3_quantiles'] = round(
         stream_predict_ms, 1
     )
+    record['stream_predict_ms_runs'] = [
+        round(v, 1) for v in stream_predict_runs
+    ]
+    if predict_host_ms is not None:
+      record['stream_predict_vs_in_memory_host'] = round(
+          stream_predict_ms / predict_host_ms, 2
+      )
   print(json.dumps(record))
 
 
