@@ -1,20 +1,25 @@
 """Worker for the multi-process rehearsal test (not a pytest module).
 
 Launched as `python _multiprocess_worker.py <process_id> <num_processes>
-<port> <data_devices_per_host>` with JAX_PLATFORMS=cpu and 4 virtual CPU
-devices per process. Joins the distributed runtime, fits a tiny MAP
-ensemble and a tiny VI ensemble over the multi-host mesh, and prints one
-JSON line with the results.
+<port> <data_devices_per_host> [<ckpt_dir>|none] [<devices_per_process>]
+[full|light]` with JAX_PLATFORMS=cpu and `devices_per_process` (default
+4) virtual CPU devices per process. Joins the distributed runtime, fits
+over the multi-host mesh, and prints one JSON line with the results.
+`light` mode runs MAP + streamed MAP + both predict paths only (the
+4-process 2x2 grid leg — VERDICT r4 item 5 — exercises host-major
+placement and cross-host gathers without repeating the VI/checkpoint
+coverage the 2-process legs own).
 """
 
 import json
 import os
 import sys
 
+_DEVICES = sys.argv[6] if len(sys.argv) > 6 else '4'
 os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = (
     os.environ.get('XLA_FLAGS', '')
-    + ' --xla_force_host_platform_device_count=4'
+    + f' --xla_force_host_platform_device_count={_DEVICES}'
 ).strip()
 
 import jax
@@ -28,6 +33,7 @@ import jax.numpy as jnp
 def main():
   process_id, num_processes, port, data_per_host = map(int, sys.argv[1:5])
   ckpt_dir = sys.argv[5] if len(sys.argv) > 5 and sys.argv[5] != 'none' else None
+  light = len(sys.argv) > 7 and sys.argv[7] == 'light'
   jax.distributed.initialize(
       coordinator_address=f'localhost:{port}',
       num_processes=num_processes,
@@ -91,32 +97,34 @@ def main():
   # The distribution-object path (likelihood_model's engine) over the same
   # multi-process mesh: every process must get the full forecast-parameter
   # host arrays back.
-  fp = predict_lib.forecast_params_bnf(
-      x,
-      'NORMAL',
-      params,
-      config,
-      ensemble_dims=1,
-      chunk_size=32,
-      mesh=mesh,
-      backend='xla',
-  )
+  fp = vi_losses = vi_draws = None
+  if not light:
+    fp = predict_lib.forecast_params_bnf(
+        x,
+        'NORMAL',
+        params,
+        config,
+        ensemble_dims=1,
+        chunk_size=32,
+        mesh=mesh,
+        backend='xla',
+    )
 
-  _, vi_losses, vi_draws = vi_lib.fit_vi(
-      aug,
-      jnp.asarray(y),
-      jax.random.PRNGKey(1),
-      'NORMAL',
-      config,
-      ensemble_size=4,
-      learning_rate=0.01,
-      num_epochs=3,
-      sample_size_divergence=2,
-      sample_size_posterior=2,
-      batch_size=32,
-      mesh=mesh,
-      backend='xla',
-  )
+    _, vi_losses, vi_draws = vi_lib.fit_vi(
+        aug,
+        jnp.asarray(y),
+        jax.random.PRNGKey(1),
+        'NORMAL',
+        config,
+        ensemble_size=4,
+        learning_rate=0.01,
+        num_epochs=3,
+        sample_size_divergence=2,
+        sample_size_posterior=2,
+        batch_size=32,
+        mesh=mesh,
+        backend='xla',
+    )
 
   # Host-streaming MAP over the multi-process mesh: every process
   # assembles the same host batches (stream entropy derives from the raw
@@ -136,15 +144,16 @@ def main():
       ],
   }
 
-  # Host-streaming VI over the multi-process mesh (per-step resampled
-  # batches shared across members and MC draws).
-  _, stream_vi_losses, _ = vi_lib.fit_vi(
-      aug_host, y_host, jax.random.PRNGKey(1), 'NORMAL', config,
-      ensemble_size=4, learning_rate=0.01, num_epochs=3,
-      sample_size_divergence=2, sample_size_posterior=2, batch_size=32,
-      mesh=mesh, backend='xla', stream_chunk_steps=2,
-  )
-  out_stream['stream_vi_losses'] = np.asarray(stream_vi_losses).tolist()
+  if not light:
+    # Host-streaming VI over the multi-process mesh (per-step resampled
+    # batches shared across members and MC draws).
+    _, stream_vi_losses, _ = vi_lib.fit_vi(
+        aug_host, y_host, jax.random.PRNGKey(1), 'NORMAL', config,
+        ensemble_size=4, learning_rate=0.01, num_epochs=3,
+        sample_size_divergence=2, sample_size_posterior=2, batch_size=32,
+        mesh=mesh, backend='xla', stream_chunk_steps=2,
+    )
+    out_stream['stream_vi_losses'] = np.asarray(stream_vi_losses).tolist()
 
   # Out-of-core streamed predict over the multi-process mesh: rows stream
   # in host chunks (globalized per chunk), results gather to full host
@@ -164,15 +173,18 @@ def main():
       'map_losses': np.asarray(losses).tolist(),
       'map_param_sums': [float(np.sum(np.asarray(p))) for p in params],
       'map_param_shapes': [list(np.shape(p)) for p in params],
-      'vi_losses': np.asarray(vi_losses).tolist(),
-      'vi_draw_sum': float(sum(np.sum(np.asarray(d)) for d in vi_draws)),
       'predict_mean_shape': list(np.shape(pred_means)),
       'predict_means': np.asarray(pred_means).ravel().tolist(),
       'predict_quantiles': [np.asarray(q).tolist() for q in pred_qs],
-      'forecast_param_shapes': [list(np.shape(f)) for f in fp],
-      'forecast_param_sums': [float(np.sum(np.asarray(f))) for f in fp],
       **out_stream,
   }
+  if not light:
+    out.update({
+        'vi_losses': np.asarray(vi_losses).tolist(),
+        'vi_draw_sum': float(sum(np.sum(np.asarray(d)) for d in vi_draws)),
+        'forecast_param_shapes': [list(np.shape(f)) for f in fp],
+        'forecast_param_sums': [float(np.sum(np.asarray(f))) for f in fp],
+    })
 
   if ckpt_dir is not None:
     # Checkpoint/resume across the process boundary: train 2 of 4 epochs

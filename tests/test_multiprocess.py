@@ -42,36 +42,83 @@ def _free_port():
   return port
 
 
-def _run_workers(data_devices_per_host, ckpt_dir=None):
+# Stderr signatures of the known-flaky Gloo/coordination rendezvous: the
+# CPU collectives' context init holds a hardcoded ~30 s GetKeyValue
+# deadline inside jax, which a loaded host (pytest -n contention, a
+# concurrent bench) can blow through no matter how generous the worker
+# `communicate` bound is. Detectable in the failed child's stderr —
+# relaunch the whole gang on a fresh port instead of failing the suite
+# (VERDICT r4 item 4).
+_RENDEZVOUS_ERRORS = (
+    'DEADLINE_EXCEEDED',
+    'Gloo context initialization failed',
+    'initialization_timeout',
+    'barrier timed out',
+)
+
+
+def _launch_gang(num_processes, data_devices_per_host, ckpt_dir,
+                 devices_per_process, mode):
   port = _free_port()
   env = dict(os.environ)
-  env.pop('XLA_FLAGS', None)  # worker sets its own 4-device flag
+  env.pop('XLA_FLAGS', None)  # worker sets its own device-count flag
   env['JAX_PLATFORMS'] = 'cpu'
   procs = [
       subprocess.Popen(
-          [sys.executable, _WORKER, str(i), '2', str(port),
-           str(data_devices_per_host), ckpt_dir or 'none'],
+          [sys.executable, _WORKER, str(i), str(num_processes), str(port),
+           str(data_devices_per_host), ckpt_dir or 'none',
+           str(devices_per_process), mode],
           stdout=subprocess.PIPE,
           stderr=subprocess.PIPE,
           env=env,
           text=True,
       )
-      for i in range(2)
+      for i in range(num_processes)
   ]
-  results = {}
+  outs = []
   for p in procs:
     # Generous bound: the workers compile dozens of programs and the
     # suite runs under pytest -n parallel load — 600 s flaked once under
     # a 4-way xdist run while the bench occupied the host; alone the
     # pair finishes in ~200 s.
-    out, err = p.communicate(timeout=1500)
-    assert p.returncode == 0, f'worker failed:\n{out}\n{err}'
-    for line in out.splitlines():
-      if line.startswith('WORKER_RESULT '):
-        r = json.loads(line[len('WORKER_RESULT '):])
-        results[r['process_id']] = r
-  assert set(results) == {0, 1}, f'missing worker output: {results.keys()}'
-  return results
+    try:
+      out, err = p.communicate(timeout=1500)
+    except subprocess.TimeoutExpired:
+      for q in procs:
+        if q.poll() is None:
+          q.kill()
+      out, err = p.communicate()
+    outs.append((p.returncode, out, err))
+  return outs
+
+
+def _run_workers(data_devices_per_host, ckpt_dir=None, num_processes=2,
+                 devices_per_process=4, mode='full', attempts=3):
+  last_failure = None
+  for _ in range(attempts):
+    outs = _launch_gang(
+        num_processes, data_devices_per_host, ckpt_dir, devices_per_process,
+        mode,
+    )
+    failures = [(rc, o, e) for rc, o, e in outs if rc != 0]
+    if failures:
+      rc, o, e = failures[0]
+      last_failure = f'worker failed (rc={rc}):\n{o}\n{e}'
+      if any(sig in e or sig in o for _, o, e in failures
+             for sig in _RENDEZVOUS_ERRORS):
+        continue  # environment flake: retry the gang on a fresh port
+      break
+    results = {}
+    for _, out, _ in outs:
+      for line in out.splitlines():
+        if line.startswith('WORKER_RESULT '):
+          r = json.loads(line[len('WORKER_RESULT '):])
+          results[r['process_id']] = r
+    assert set(results) == set(range(num_processes)), (
+        f'missing worker output: {results.keys()}'
+    )
+    return results
+  raise AssertionError(last_failure)
 
 
 def _reference_fit(data_devices):
@@ -231,3 +278,65 @@ def test_two_process_fit_matches_single_process(
     # fit must land on the uninterrupted streamed fit's exact losses.
     assert r0['ckpt_stream_map_losses'] == r0['stream_map_losses']
     assert r1['ckpt_stream_map_losses'] == r0['stream_map_losses']
+
+
+@pytest.mark.slow
+def test_four_process_2x2_grid():
+  """4 processes x 2 virtual devices: the ('ens', 'data') = (4, 2) grid.
+
+  The 2-process legs above shard one mesh axis across the process
+  boundary at a time; this leg shards BOTH at once — host-major ensemble
+  placement (each host's 2 devices form one within-host data group),
+  cross-host ensemble gathers, and streamed globalization over a 2-D
+  multi-process grid (VERDICT r4 item 5). Light worker mode: MAP +
+  streamed MAP + both predict paths (VI/checkpoint coverage is owned by
+  the 2-process legs — the collective topology, not the objective, is
+  what changes here).
+  """
+  results = _run_workers(
+      data_devices_per_host=2, num_processes=4, devices_per_process=2,
+      mode='light',
+  )
+  r0 = results[0]
+  assert r0['mesh_shape'] == {'ens': 4, 'data': 2}
+
+  # Every process holds identical full results.
+  for pid in (1, 2, 3):
+    rp = results[pid]
+    assert rp['map_losses'] == r0['map_losses']
+    assert rp['map_param_sums'] == r0['map_param_sums']
+    assert rp['predict_means'] == r0['predict_means']
+    assert rp['predict_quantiles'] == r0['predict_quantiles']
+    assert rp['stream_map_losses'] == r0['stream_map_losses']
+    assert rp['stream_map_param_sums'] == r0['stream_map_param_sums']
+    assert rp['stream_predict_means'] == r0['stream_predict_means']
+    assert rp['stream_predict_quantiles'] == r0['stream_predict_quantiles']
+
+  assert np.asarray(r0['map_losses']).shape == (6, 4)
+  assert np.all(np.isfinite(np.asarray(r0['map_losses'])))
+  assert np.all(np.isfinite(np.asarray(r0['stream_map_losses'])))
+
+  # Streamed predict agrees with the in-memory predict the same workers
+  # ran (different partitioned program — ulp-level, as in the 2-proc leg).
+  np.testing.assert_allclose(
+      np.asarray(r0['stream_predict_means']),
+      np.asarray(r0['predict_means']),
+      rtol=1e-6, atol=1e-7,
+  )
+
+  # And the numbers match a single-process run of the same seeds on an
+  # identically-shaped (4, 2) mesh.
+  want_map, _, want_means, want_qs, want_stream, _ = _reference_fit(
+      data_devices=2
+  )
+  np.testing.assert_allclose(
+      np.asarray(r0['map_losses']), want_map, rtol=1e-5
+  )
+  np.testing.assert_allclose(
+      np.asarray(r0['predict_means']).reshape(6, 96), want_means, rtol=1e-4
+  )
+  for got_q, want_q in zip(r0['predict_quantiles'], want_qs):
+    np.testing.assert_allclose(np.asarray(got_q), want_q, rtol=1e-4)
+  np.testing.assert_allclose(
+      np.asarray(r0['stream_map_losses']), want_stream, rtol=1e-5
+  )
