@@ -835,51 +835,58 @@ def ensemble_map(
   if checkpoint_dir is not None:
     from bayesnf_tpu.utils import checkpoint as ckpt_lib
 
+    fp_kwargs = dict(
+        kind='map',
+        config=config,
+        distribution=distribution.value,
+        ensemble_size=ensemble_size,
+        learning_rate=float(learning_rate),
+        # num_epochs intentionally excluded: extending a completed or
+        # interrupted run with a larger budget is a supported resume.
+        batch_size=int(batch_size),
+        data_size=data_size,
+        prior_weight=float(prior_weight),
+        precision=precision,
+        # The RESOLVED backend: 'auto' picks per-platform, and the two
+        # backends differ numerically up to matmul reassociation, so a
+        # resume must refuse to continue xla-written chunks on pallas
+        # (or vice versa) rather than silently mixing numerics.
+        backend=backend,
+        # The data-axis extent fixes the row layout, the psum
+        # reduction grouping, AND the sharded-minibatch RNG scheme —
+        # a resume on a different extent would silently change all
+        # three.
+        data_shards=data_shards,
+        # Streaming uses a different (shared host-side) permutation
+        # scheme than on-device training — resuming one under the
+        # other would silently change every subsequent batch.
+        stream=streaming,
+    )
+    # With member remix the slice size is the remix WINDOW — a semantic
+    # quantity a resume must not change (the shared scheme's slice size
+    # is pure transfer granularity and stays out of the fingerprint).
+    # The keys appear ONLY when remix is on: feature keys must not churn
+    # the fingerprints of runs that never used the feature (a version
+    # upgrade would refuse every pre-existing checkpoint directory for
+    # no reason), and their absence still distinguishes remix from
+    # non-remix. One interim release always wrote the keys — its
+    # non-remix digests are accepted as legacy so those directories keep
+    # resuming.
+    if streaming and stream_member_remix:
+      fp_kwargs.update(
+          stream_remix=True, stream_remix_window=int(stream_chunk_steps)
+      )
+      legacy = ()
+    else:
+      legacy = (
+          ckpt_lib.run_fingerprint(
+              **fp_kwargs, stream_remix=False, stream_remix_window=None
+          ),
+      )
     checkpointer = ckpt_lib.TrainCheckpointer(
         checkpoint_dir,
-        fingerprint=ckpt_lib.run_fingerprint(
-            kind='map',
-            config=config,
-            distribution=distribution.value,
-            ensemble_size=ensemble_size,
-            learning_rate=float(learning_rate),
-            # num_epochs intentionally excluded: extending a completed or
-            # interrupted run with a larger budget is a supported resume.
-            batch_size=int(batch_size),
-            data_size=data_size,
-            prior_weight=float(prior_weight),
-            precision=precision,
-            # The RESOLVED backend: 'auto' picks per-platform, and the two
-            # backends differ numerically up to matmul reassociation, so a
-            # resume must refuse to continue xla-written chunks on pallas
-            # (or vice versa) rather than silently mixing numerics.
-            backend=backend,
-            # The data-axis extent fixes the row layout, the psum
-            # reduction grouping, AND the sharded-minibatch RNG scheme —
-            # a resume on a different extent would silently change all
-            # three.
-            data_shards=data_shards,
-            # Streaming uses a different (shared host-side) permutation
-            # scheme than on-device training — resuming one under the
-            # other would silently change every subsequent batch.
-            stream=streaming,
-            # With member remix the slice size is the remix WINDOW — a
-            # semantic quantity a resume must not change (the shared
-            # scheme's slice size is pure transfer granularity and stays
-            # out of the fingerprint). The keys appear ONLY when remix is
-            # on: feature keys must not churn the fingerprints of runs
-            # that never used the feature (a version upgrade would refuse
-            # every pre-existing checkpoint directory for no reason), and
-            # their absence still distinguishes remix from non-remix.
-            **(
-                dict(
-                    stream_remix=True,
-                    stream_remix_window=int(stream_chunk_steps),
-                )
-                if streaming and stream_member_remix
-                else {}
-            ),
-        ),
+        fingerprint=ckpt_lib.run_fingerprint(**fp_kwargs),
+        legacy_fingerprints=legacy,
     )
     restored = checkpointer.restore_latest()
     if restored is not None:

@@ -840,42 +840,49 @@ def fit_vi(
   if checkpoint_dir is not None:
     from bayesnf_tpu.utils import checkpoint as ckpt_lib
 
+    fp_kwargs = dict(
+        kind='vi',
+        config=config,
+        distribution=distribution.value,
+        ensemble_size=ensemble_size,
+        learning_rate=float(learning_rate),
+        # num_steps intentionally excluded: extending a run is a
+        # supported resume.
+        batch_size=int(batch_size),
+        data_size=data_size,
+        sample_size_divergence=int(sample_size_divergence),
+        kl_weight=float(kl_weight),
+        precision=precision,
+        # Resolved backend: see inference/map.py — a resume must not
+        # silently mix xla- and pallas-chunk numerics.
+        backend=backend,
+        # Data-axis extent fixes row layout, psum grouping, and the
+        # sharded-minibatch RNG scheme (see inference/map.py).
+        data_shards=data_shards,
+        # Streaming uses the shared host-side batch scheme — resuming
+        # one scheme under the other would silently change batches.
+        stream=streaming,
+    )
+    # With member remix the slice size is the remix window; keys appear
+    # ONLY when remix is on so feature keys never churn pre-existing
+    # non-remix fingerprints; one interim release always wrote the keys,
+    # so non-remix digests of that recipe are accepted as legacy (see
+    # inference/map.py).
+    if streaming and stream_member_remix:
+      fp_kwargs.update(
+          stream_remix=True, stream_remix_window=int(stream_chunk_steps)
+      )
+      legacy = ()
+    else:
+      legacy = (
+          ckpt_lib.run_fingerprint(
+              **fp_kwargs, stream_remix=False, stream_remix_window=None
+          ),
+      )
     checkpointer = ckpt_lib.TrainCheckpointer(
         checkpoint_dir,
-        fingerprint=ckpt_lib.run_fingerprint(
-            kind='vi',
-            config=config,
-            distribution=distribution.value,
-            ensemble_size=ensemble_size,
-            learning_rate=float(learning_rate),
-            # num_steps intentionally excluded: extending a run is a
-            # supported resume.
-            batch_size=int(batch_size),
-            data_size=data_size,
-            sample_size_divergence=int(sample_size_divergence),
-            kl_weight=float(kl_weight),
-            precision=precision,
-            # Resolved backend: see inference/map.py — a resume must not
-            # silently mix xla- and pallas-chunk numerics.
-            backend=backend,
-            # Data-axis extent fixes row layout, psum grouping, and the
-            # sharded-minibatch RNG scheme (see inference/map.py).
-            data_shards=data_shards,
-            # Streaming uses the shared host-side batch scheme — resuming
-            # one scheme under the other would silently change batches.
-            stream=streaming,
-            # With member remix the slice size is the remix window; keys
-            # appear ONLY when remix is on so feature keys never churn
-            # pre-existing non-remix fingerprints (see inference/map.py).
-            **(
-                dict(
-                    stream_remix=True,
-                    stream_remix_window=int(stream_chunk_steps),
-                )
-                if streaming and stream_member_remix
-                else {}
-            ),
-        ),
+        fingerprint=ckpt_lib.run_fingerprint(**fp_kwargs),
+        legacy_fingerprints=legacy,
     )
     restored = checkpointer.restore_latest()
     if restored is not None:

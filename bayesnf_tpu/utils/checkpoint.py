@@ -133,7 +133,17 @@ class TrainCheckpointer:
       directory: str,
       max_to_keep: int = 2,
       fingerprint: str | None = None,
+      legacy_fingerprints: tuple[str, ...] = (),
   ):
+    """`legacy_fingerprints`: additional digests accepted as THIS run.
+
+    The digest recipe can evolve (e.g. the stream-remix keys became
+    conditional so feature additions stop churning pre-existing
+    fingerprints); directories whose marker carries a superseded digest
+    of the SAME configuration must keep resuming. A matched legacy
+    marker is left in place — the directory stays resumable by both the
+    old and new recipe.
+    """
     if not _HAS_ORBAX:
       raise ImportError('orbax-checkpoint is required for checkpointing.')
     directory = _normalize_directory(directory)
@@ -144,9 +154,19 @@ class TrainCheckpointer:
         ),
     )
     self._fingerprint = fingerprint
+    self._accepted = (
+        (fingerprint,) + tuple(legacy_fingerprints)
+        if fingerprint is not None
+        else ()
+    )
     self._meta_path = os.path.join(directory, 'fingerprint.json')
     if fingerprint is not None:
       stored = self._read_marker()
+      if stored in self._accepted[1:]:
+        # Superseded digest of this same configuration: keep resuming
+        # (and keep the marker — see the docstring).
+        self._fingerprint = stored
+        stored = fingerprint  # skip the mismatch branch below
       if stored is not None and stored != fingerprint:
         if self._manager.latest_step() is not None:
           self._manager.close()

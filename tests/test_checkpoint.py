@@ -110,6 +110,64 @@ def test_stale_fingerprint_without_checkpoints_is_reclaimed(tmp_path):
     )
 
 
+def test_legacy_fingerprint_recipe_still_resumes(tmp_path):
+  """Markers written by the superseded digest recipe keep resuming.
+
+  One interim release always included stream_remix=False /
+  stream_remix_window=None in non-remix fingerprints; the keys are now
+  conditional, so those directories carry a different digest of the SAME
+  configuration. The trainer passes the old-recipe digest as a legacy
+  fingerprint — rewrite the marker to it and the resume must proceed
+  bit-exactly (ADVICE r4 #1).
+  """
+  import json as json_lib
+  import os
+
+  from bayesnf_tpu.utils import checkpoint as ckpt_lib
+
+  config, aug, y = _setup()
+  p_ref, l_ref = _run(config, aug, y)
+
+  captured = {}
+  real_ctor = ckpt_lib.TrainCheckpointer
+
+  class Capturing(real_ctor):
+
+    def __init__(self, directory, **kwargs):
+      captured['legacy'] = kwargs.get('legacy_fingerprints', ())
+      super().__init__(directory, **kwargs)
+
+  ckdir = str(tmp_path / 'ck')
+  orig = ckpt_lib.TrainCheckpointer
+  ckpt_lib.TrainCheckpointer = Capturing
+  try:
+    map_lib.ensemble_map(
+        aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+        ensemble_size=2, learning_rate=0.01, num_epochs=14,
+        seed=jax.random.PRNGKey(0), batch_size=20,
+        checkpoint_dir=ckdir, checkpoint_every=7,
+    )
+  finally:
+    ckpt_lib.TrainCheckpointer = orig
+  assert len(captured['legacy']) == 1  # non-remix run: one legacy digest
+
+  # Simulate the directory having been written by the old recipe.
+  marker = os.path.join(ckdir, 'fingerprint.json')
+  with open(marker, 'w') as f:
+    json_lib.dump({'fingerprint': captured['legacy'][0]}, f)
+
+  p_res, l_res = _run(config, aug, y, checkpoint_dir=ckdir, checkpoint_every=7)
+  np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_res))
+  for a, b in zip(p_ref, p_res):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  # An unrelated digest still refuses.
+  with open(marker, 'w') as f:
+    json_lib.dump({'fingerprint': 'someone-else'}, f)
+  with pytest.raises(ValueError, match='different configuration'):
+    _run(config, aug, y, checkpoint_dir=ckdir, checkpoint_every=7)
+
+
 def test_reclaimed_directory_fails_the_original_runs_save(tmp_path):
   """If run B reclaims a zero-step directory, run A's first save refuses.
 

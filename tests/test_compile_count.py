@@ -94,9 +94,16 @@ def test_cold_fit_compile_count_stays_small(tmp_path):
   # + the newaxis broadcast). Headroom tolerates JAX-version drift in
   # singleton utilities; the eager-setup regression this guards against
   # shows up as tens of extra programs, far past each bound.
+  #
+  # LOWER bounds too (ADVICE r4 #2): the drain parses a private jax
+  # logger's 'Finished XLA compilation of' lines — if jax renames either,
+  # drain() returns [] and every upper bound passes vacuously, silently
+  # disabling this guard. A cold fit/predict MUST compile at least one
+  # program each, so an empty list means the probe broke, not that the
+  # code stopped compiling.
   fit = names_for('FIT')
-  assert len(fit) <= 12, (len(fit), fit)
+  assert 1 <= len(fit) <= 12, (len(fit), fit)
   predict = names_for('PREDICT')
-  assert len(predict) <= 4, (len(predict), predict)
+  assert 1 <= len(predict) <= 4, (len(predict), predict)
   lm = names_for('LM')
-  assert len(lm) <= 6, (len(lm), lm)
+  assert 1 <= len(lm) <= 6, (len(lm), lm)
