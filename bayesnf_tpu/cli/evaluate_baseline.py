@@ -67,15 +67,22 @@ def load_series(data_root, dataset, series_id):
   return x_train, y_train, x_test, y_test, idx_train, idx_test
 
 
-def featurize(x, dataset):
+def featurize(x, dataset=None, seasonality_periods=None,
+              num_seasonal_harmonics=None):
   """Seasonal + Fourier featurization (the reference's TSREG/GBOOST prep).
 
   Pure numpy on purpose: the sklearn baselines must not touch an
   accelerator (and must run even when no device backend is reachable).
+  Seasonality comes from the registry's MAP model config for `dataset`,
+  or explicitly via `seasonality_periods`/`num_seasonal_harmonics` (the
+  synthetic head-to-head leg, whose protocol is not a registry dataset).
   """
-  model_cfg = registry.model_config(dataset, 'map')
+  if dataset is not None:
+    model_cfg = registry.model_config(dataset, 'map')
+    seasonality_periods = model_cfg['seasonality_periods']
+    num_seasonal_harmonics = model_cfg['num_seasonal_harmonics']
   freqs, harms = feat_lib.seasonal_frequency_table(
-      model_cfg['seasonality_periods'], model_cfg['num_seasonal_harmonics']
+      seasonality_periods, num_seasonal_harmonics
   )
   x = np.asarray(x, dtype=np.float64)
   cols = [x]
@@ -128,6 +135,14 @@ def run_rf(data_root, dataset, series_id, output_dir, **_):
   )
 
 
+# The GBOOST protocol hyperparameters (shared with the head-to-head
+# runner so the committed artifact and the artifact CLI cannot drift).
+GBOOST_PARAMS = dict(
+    learning_rate=0.05, n_estimators=100, max_depth=4,
+    min_samples_leaf=9, min_samples_split=9,
+)
+
+
 def run_gboost(
     data_root, dataset, series_id, output_dir,
     n_estimators=100, use_features=True, **_,
@@ -140,10 +155,7 @@ def run_gboost(
   if use_features:
     x_tr, x_te = featurize(x_tr, dataset), featurize(x_te, dataset)
 
-  params = dict(
-      learning_rate=0.05, n_estimators=n_estimators, max_depth=4,
-      min_samples_leaf=9, min_samples_split=9,
-  )
+  params = dict(GBOOST_PARAMS, n_estimators=n_estimators)
   start = time.time()
   models = {
       alpha: GradientBoostingRegressor(
