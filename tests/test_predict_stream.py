@@ -156,14 +156,19 @@ def test_streamed_forecast_params_bitwise(observation_model):
       x, observation_model, params, config, ensemble_dims=2, chunk_size=16,
       backend='xla',
   )
-  got = predict_lib.forecast_params_bnf(
-      x, observation_model, params, config, ensemble_dims=2, chunk_size=16,
-      backend='xla', stream_chunk_rows=32,
-  )
-  assert len(got) == len(want)
-  for g, w in zip(got, want):
-    assert isinstance(g, np.ndarray)
-    np.testing.assert_array_equal(g, np.asarray(w))
+  # Default budget (all chunks device-cached, one batched fetch per
+  # leaf), a one-chunk budget (partial spill), and budget 0 (pure
+  # per-chunk fetch) must all return the same host buffers bitwise.
+  for cache_bytes in (1 << 30, 6 * 32 * 4 * 2, 0):
+    got = predict_lib.forecast_params_bnf(
+        x, observation_model, params, config, ensemble_dims=2,
+        chunk_size=16, backend='xla', stream_chunk_rows=32,
+        stream_cache_bytes=cache_bytes,
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+      assert isinstance(g, np.ndarray)
+      np.testing.assert_array_equal(g, np.asarray(w))
 
 
 def test_estimator_streamed_predict_and_likelihood_model():
