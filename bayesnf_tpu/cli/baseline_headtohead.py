@@ -15,6 +15,11 @@ the comparison (VERDICT r4 item 1). Two legs:
   budgets; the featurized GBOOST/TSREG legs are the headline baseline
   variants (the paper's strongest — they ride BayesNF's own
   seasonal/Fourier features).
+- ``synthetic_nb``: the same protocol with Poisson counts around the
+  known field — the paper's count-valued home domain. The sklearn
+  baselines regress counts as continuous targets (what a practitioner
+  without a count model does); BayesNF fits its native NB likelihood
+  with integer zero-clamped quantiles.
 - ``chickenpox8``: the bundled reference protocol (published MAP config,
   the PARITY.md §3 run). Train-region metrics are the parity-grade
   comparison (vs the reference golden); test-region numbers are
@@ -64,18 +69,22 @@ from bayesnf_tpu.cli import synthetic as synthetic_lib
 _Z95 = 1.959964
 
 # The synthetic protocol (mirrors tests/test_synthetic_suite.py budgets).
-SYNTH_MODEL = dict(
-    width=64,
-    depth=2,
-    seasonality_periods=[13.0, 52.0],
-    num_seasonal_harmonics=[2, 4],
-    feature_cols=['datetime', 'latitude', 'longitude'],
-    target_col='y',
-    observation_model='NORMAL',
-    timetype='index',
-    freq='W',
-    standardize=['latitude', 'longitude'],
-)
+def synth_model(observation_model='NORMAL'):
+  return dict(
+      width=64,
+      depth=2,
+      seasonality_periods=[13.0, 52.0],
+      num_seasonal_harmonics=[2, 4],
+      feature_cols=['datetime', 'latitude', 'longitude'],
+      target_col='y',
+      observation_model=observation_model,
+      timetype='index',
+      freq='W',
+      standardize=['latitude', 'longitude'],
+  )
+
+
+SYNTH_MODEL = synth_model()
 
 
 def _metrics(y, yhat, lower, upper, crps, true_mean=None):
@@ -215,7 +224,8 @@ def _bnf_predictions(model, df_test, key):
   }
 
 
-def fit_bnf_synthetic(objective, df_train, df_test, quick):
+def fit_bnf_synthetic(objective, df_train, df_test, quick,
+                      observation_model='NORMAL'):
   import jax
 
   from bayesnf_tpu import spatiotemporal
@@ -224,7 +234,7 @@ def fit_bnf_synthetic(objective, df_train, df_test, quick):
       'map': spatiotemporal.BayesianNeuralFieldMAP,
       'vi': spatiotemporal.BayesianNeuralFieldVI,
   }[objective]
-  model = cls(**SYNTH_MODEL)
+  model = cls(**synth_model(observation_model))
   fit_kwargs = dict(seed=jax.random.PRNGKey(1), ensemble_size=8)
   if objective == 'vi':
     fit_kwargs.update(
@@ -232,8 +242,11 @@ def fit_bnf_synthetic(objective, df_train, df_test, quick):
         batch_size=None, sample_size_posterior=10,
     )
   else:
+    # Count likelihoods need more steps to converge at lr 0.005 (the
+    # suite's budgets — tests/test_synthetic_suite.py).
+    full = 300 if observation_model == 'NORMAL' else 800
     fit_kwargs.update(
-        num_epochs=50 if quick else 300, learning_rate=0.005
+        num_epochs=50 if quick else full, learning_rate=0.005
     )
   _, secs = _timed(lambda: model.fit(df_train, **fit_kwargs))
   out = _bnf_predictions(model, df_test, jax.random.PRNGKey(5))
@@ -244,13 +257,21 @@ def fit_bnf_synthetic(objective, df_train, df_test, quick):
 # --- legs ------------------------------------------------------------------
 
 
-def run_synthetic_leg(seeds, quick):
-  """Per-seed head-to-head on the known-field generator; mean-aggregated."""
+def run_synthetic_leg(seeds, quick, observation_model='NORMAL'):
+  """Per-seed head-to-head on the known-field generator; mean-aggregated.
+
+  With a count `observation_model` (NB), the sklearn baselines regress
+  the counts as continuous targets (exactly what a practitioner without
+  a count model does) while BayesNF fits its native count likelihood —
+  the comparison the paper's count-valued domains actually pose.
+  """
   from bayesnf_tpu.data import SpatiotemporalDataHandler
 
   per_method = {}
   for seed in range(seeds):
-    df_train, df_test = synthetic_lib.make_series('NORMAL', seed=seed)
+    df_train, df_test = synthetic_lib.make_series(
+        observation_model, seed=seed
+    )
     handler = SpatiotemporalDataHandler(
         SYNTH_MODEL['feature_cols'], SYNTH_MODEL['target_col'],
         SYNTH_MODEL['timetype'], SYNTH_MODEL['freq'],
@@ -271,8 +292,12 @@ def run_synthetic_leg(seeds, quick):
         num_seasonal_harmonics=SYNTH_MODEL['num_seasonal_harmonics'],
     )
     runs = sklearn_methods(x_tr, y_tr, x_te, featurize)
-    runs['bnf_map'] = fit_bnf_synthetic('map', df_train, df_test, quick)
-    runs['bnf_vi'] = fit_bnf_synthetic('vi', df_train, df_test, quick)
+    runs['bnf_map'] = fit_bnf_synthetic(
+        'map', df_train, df_test, quick, observation_model
+    )
+    runs['bnf_vi'] = fit_bnf_synthetic(
+        'vi', df_train, df_test, quick, observation_model
+    )
 
     for name, run in runs.items():
       m = _metrics(
@@ -379,7 +404,7 @@ _DATA_ROOT = os.path.join(
 def main(argv=None):
   parser = argparse.ArgumentParser(description=__doc__)
   parser.add_argument('--json-out', required=True)
-  parser.add_argument('--legs', default='synthetic,chickenpox8')
+  parser.add_argument('--legs', default='synthetic,synthetic_nb,chickenpox8')
   parser.add_argument('--seeds', type=int, default=3,
                       help='synthetic-leg seeds (mean-aggregated)')
   parser.add_argument('--quick', action='store_true',
@@ -412,6 +437,17 @@ def main(argv=None):
         ),
         **run_synthetic_leg(args.seeds, args.quick),
     }
+  if 'synthetic_nb' in legs:
+    artifact['legs']['synthetic_nb'] = {
+        'protocol': (
+            f'cli/synthetic.py make_series("NB", seed) — Poisson counts '
+            f'around the known field — {args.seeds} seeds; sklearn '
+            'baselines regress the counts as continuous targets, '
+            'BayesNF fits its native NB likelihood (integer zero-clamped '
+            'quantiles)'
+        ),
+        **run_synthetic_leg(args.seeds, args.quick, observation_model='NB'),
+    }
   if 'chickenpox8' in legs:
     artifact['legs']['chickenpox8'] = run_chickenpox_leg(
         args.data_root, args.quick
@@ -421,15 +457,18 @@ def main(argv=None):
     json.dump(artifact, f, indent=2)
     f.write('\n')
 
-  # Human-readable summary: the synthetic mean table.
-  synth = artifact['legs'].get('synthetic')
-  if synth:
+  # Human-readable summary: the synthetic mean tables.
+  for leg_name in ('synthetic', 'synthetic_nb'):
+    synth = artifact['legs'].get(leg_name)
+    if not synth:
+      continue
     rows = [
         (name, vals['mean'])
         for name, vals in synth.items()
         if isinstance(vals, dict) and 'mean' in vals
     ]
     rows.sort(key=lambda r: r[1]['crps'])
+    print(f'-- {leg_name}')
     print(f'{"method":<20} {"crps":>7} {"rmse":>7} {"mae":>7} '
           f'{"cov95":>6} {"rmse_true":>9}')
     for name, m in rows:

@@ -149,25 +149,24 @@ def main(argv=None):
       backend=backend,
   )
 
-  def run_fit(**extra):
+  def run_fit(stream_chunk_steps):
+    # Always host-streamed: the in-memory variant would materialize the
+    # full memmap on device — the exact regime violation this script
+    # exists to measure.
     params, losses = map_lib.ensemble_map(
-        aug if extra.get('stream_chunk_steps') else jnp.asarray(np.asarray(aug)),
-        y if extra.get('stream_chunk_steps') else jnp.asarray(np.asarray(y)),
-        config, likelihoods.LikelihoodDist.NORMAL,
-        seed=jax.random.PRNGKey(0), **fit_kwargs, **extra,
+        aug, y, config, likelihoods.LikelihoodDist.NORMAL,
+        seed=jax.random.PRNGKey(0), stream_chunk_steps=stream_chunk_steps,
+        **fit_kwargs,
     )
     return params, np.asarray(losses)
 
-  # Streamed fit: compile pass (1 epoch) then the timed run.
+  # Streamed fit: compile pass at the SAME epoch count as the timed run
+  # (the total step count fixes the ragged tail-slice program's shape —
+  # a shorter warm-up would leave one compilation inside the timed wall).
   steps_per_epoch = n // args.batch_size
-  map_lib.ensemble_map(
-      aug, y, config, likelihoods.LikelihoodDist.NORMAL,
-      seed=jax.random.PRNGKey(0),
-      **dict(fit_kwargs, num_epochs=1,
-             stream_chunk_steps=args.stream_chunk_steps),
-  )
+  run_fit(args.stream_chunk_steps)
   t0 = time.perf_counter()
-  params, stream_losses = run_fit(stream_chunk_steps=args.stream_chunk_steps)
+  params, stream_losses = run_fit(args.stream_chunk_steps)
   fit_s = time.perf_counter() - t0
   assert np.all(np.isfinite(stream_losses))
   member_steps = args.epochs * steps_per_epoch * args.ensemble
@@ -250,7 +249,7 @@ def main(argv=None):
     # slice-size invariance (the host chunking is pure transfer
     # granularity — same batches, same losses, any chunk size).
     other_steps = max(1, args.stream_chunk_steps // 2)
-    _, other_losses = run_fit(stream_chunk_steps=other_steps)
+    _, other_losses = run_fit(other_steps)
     artifact['fit_losses_bit_invariant_to_slice_size'] = bool(
         np.array_equal(stream_losses, np.asarray(other_losses))
     )

@@ -421,7 +421,9 @@ def predict_bnf(
       the device in chunks of this many rows and results assemble into
       host numpy buffers — device memory stays O(chunk) instead of
       O(members x N), the predict-side twin of `stream_chunk_steps`
-      training. Bit-identical outputs (`inference/predict_stream.py`).
+      training. Bit-identical outputs — except the
+      `approximate_quantiles` heuristic, which is ulp-close
+      (`inference/predict_stream.py`).
     stream_cache_bytes: streamed-predict device cache budget in bytes
       (default 1 GiB; 0 disables): pass-2 root-find inputs stay
       device-resident up to this budget so in-budget grids stream with

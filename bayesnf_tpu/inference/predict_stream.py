@@ -20,7 +20,10 @@ semantics are redesigned to keep the exact-quantile contract:
   reductions). Pass 2 root-finds each chunk with the global bracket.
   Because the Chandrupatla iteration is elementwise per row once the
   bracket is fixed, the streamed output is **bit-identical** to the
-  in-memory path (tested).
+  in-memory path (tested). One exception: `approximate_quantiles=True`
+  (the moment-matching heuristic, NORMAL only) is ulp-close rather than
+  bitwise — its mean/sqrt chain fuses differently in the streamed
+  program (means stay bitwise either way).
 - **Device-resident chunk cache.** Pass 1 keeps each chunk's pass-2
   parameter leaves alive on the device, chunk by chunk, until a byte
   budget (`stream_cache_bytes`) is reached; pass 2 consumes cached chunks
@@ -255,12 +258,17 @@ def _stream_forecast_params(
     multiproc, rows, with_count_means, host_leaf_ids=None,
     cache_leaf_ids=(), cache_bytes=0,
 ):
-  """Pass 1: host-chunked forward; returns host leaves + stats + cache.
+  """Pass 1: host-chunked forward; returns leaves + DEVICE stats + cache.
 
-  Per-row leaves come back as (K, N) float32 numpy buffers; scalar leaves
-  as (K,) numpy; stats as a tuple of numpy f32 scalars (running extrema,
-  exact). For count models with `with_count_means`, the observation means
-  (the public predict output) are assembled as an extra trailing buffer.
+  Per-row leaves come back as (K, N) float32 numpy host buffers where the
+  caller asked for them (`host_leaf_ids`) or a chunk spilled — and None
+  for cache-only leaves that never spilled; scalar (per-member constant)
+  leaves come back as (K,) DEVICE arrays (kept from the first chunk —
+  fetch only if you need host values); stats are device f32 scalars
+  (exact running extrema — pass 2 feeds them straight back without a
+  host round-trip). For count models with `with_count_means`, the
+  observation means (the public predict output) are assembled as an
+  extra trailing buffer.
 
   `cache_leaf_ids` names the per-row leaf indices pass 2 will consume and
   `host_leaf_ids` (None = all per-row leaves) the leaves the caller needs
@@ -278,10 +286,6 @@ def _stream_forecast_params(
   also stay device-side until a single fetch at the end. The
   chunks-cached count is a pure function of shapes and the budget, so
   multi-process collective schedules stay aligned.
-
-  Returns (leaves, stats, cache): host leaves (None where never
-  fetched), DEVICE stats scalars (exact running extrema — pass 2 feeds
-  them straight back without a host round-trip), and the device cache.
   """
   n, _ = features.shape
   k = int(params_flat[0].shape[0])
@@ -464,7 +468,9 @@ def predict_bnf_streamed(
 
   Means come back as a host numpy `ensemble_shape + (N,)` buffer and each
   quantile as a host numpy (N,) array, bit-identical to the in-memory
-  program; device memory stays O(stream_chunk_rows) plus the
+  program (means always; exact quantiles always; the
+  `approximate_quantiles` heuristic is ulp-close — module docstring);
+  device memory stays O(stream_chunk_rows) plus the
   `stream_cache_bytes` pass-2 cache budget throughout (0 disables the
   cache for a strict O(chunk) envelope). See the module docstring for the
   two-pass global-bracket scheme and the cache/prefetch design.

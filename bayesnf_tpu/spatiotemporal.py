@@ -254,7 +254,8 @@ class BayesianNeuralFieldEstimator:
         instead of O(ensemble x len(table)). The predict-side twin of
         `fit(stream_chunk_steps=...)`: a model trained by streaming can
         predict on a grid of the same scale. Outputs are bit-identical
-        to the in-memory path.
+        to the in-memory path (exact quantiles; the
+        `approximate_quantiles` heuristic is ulp-close).
       stream_cache_bytes: streamed-predict device cache budget in bytes
         (default 1 GiB; 0 disables). Pass-2 root-find inputs stay
         device-resident up to this budget, so grids within it stream

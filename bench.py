@@ -190,8 +190,11 @@ def main():
   value = max(map_runs)
 
   # Secondary metric: VI throughput on the same workload (ELBO steps with
-  # 5 MC draws per step; one member-step = one surrogate Adam update of one
-  # member). Reported inside the same JSON line; failures are non-fatal.
+  # VI_MC_DRAWS MC draws per step; one member-step = one surrogate Adam
+  # update of one member). Reported inside the same JSON line; failures
+  # are non-fatal. The draw count also scales the VI FLOPs accounting
+  # below — one constant so the two cannot drift.
+  VI_MC_DRAWS = 5
   vi_value = None
   try:
     from bayesnf_tpu.inference import vi as vi_lib
@@ -207,7 +210,7 @@ def main():
           ensemble_size=ensemble,
           learning_rate=0.005,
           num_epochs=num_steps,
-          sample_size_divergence=5,
+          sample_size_divergence=VI_MC_DRAWS,
           sample_size_posterior=2,
           batch_size=None,
           mesh=mesh,
@@ -423,7 +426,9 @@ def main():
   if vi_value is not None:
     record['vi_member_steps_per_sec_per_chip'] = round(vi_value, 2)
     record.update(
-        _flops_metrics('vi', vi_value, 5 * map_flops_per_member_step)
+        _flops_metrics(
+            'vi', vi_value, VI_MC_DRAWS * map_flops_per_member_step
+        )
     )
   if nb_value is not None:
     record['nb_member_steps_per_sec_per_chip'] = round(nb_value, 2)

@@ -48,12 +48,17 @@ def _free_port():
 # concurrent bench) can blow through no matter how generous the worker
 # `communicate` bound is. Detectable in the failed child's stderr —
 # relaunch the whole gang on a fresh port instead of failing the suite
-# (VERDICT r4 item 4).
+# (VERDICT r4 item 4). Deliberately NARROW: these match only the
+# *initialization/rendezvous* phase (the observed flake is 'Gloo context
+# initialization failed: DEADLINE_EXCEEDED ... 29.999s'). A bare
+# DEADLINE_EXCEEDED from a mid-run collective — e.g. peers timing out
+# because another worker genuinely crashed, or a real deadlock — does
+# NOT match and fails the test immediately, so a product regression
+# cannot be retried into a flaky pass.
 _RENDEZVOUS_ERRORS = (
-    'DEADLINE_EXCEEDED',
     'Gloo context initialization failed',
     'initialization_timeout',
-    'barrier timed out',
+    'Failed to connect to the coordination service',
 )
 
 

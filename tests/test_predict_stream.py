@@ -210,11 +210,14 @@ def test_estimator_streamed_predict_and_likelihood_model():
 def test_cache_budget_bit_invariant(observation_model):
   """Fully cached, partially spilled, and cache-disabled streams agree.
 
-  100 rows in 32-row host chunks (4 chunks, ragged tail). Pass-2 leaf
-  bytes per chunk: K(=6) x 32 x 4 x num_cached_leaves. A budget of one
-  chunk forces chunks 1..3 through the host spill + re-upload path;
-  budget 0 spills everything — all must match the default (all-cached)
-  output bitwise, and the in-memory program too.
+  100 rows in 32-row host chunks (4 chunks, ragged tail). Retained
+  bytes per chunk = K(=6) x 32 x 4 x num_RETAINED_leaves, where retained
+  = pass-2 leaves UNION host-output leaves (NORMAL {0}; NB {1,2}; ZINB
+  {1,2,3}). A one-chunk budget forces chunks 1..3 through the host
+  spill + re-upload path — exercising the mixed cached+spilled pass-2
+  assembly for every observation model; budget 0 spills everything —
+  all must match the default (all-cached) output bitwise, and the
+  in-memory program too.
   """
   config, x, params = _setup(n=100)
   kwargs = dict(
@@ -223,8 +226,8 @@ def test_cache_budget_bit_invariant(observation_model):
   want = predict_lib.predict_bnf(
       x, observation_model, params, config, **kwargs
   )
-  num_cache_leaves = 2 if observation_model == 'ZINB' else 1
-  one_chunk = 6 * 32 * 4 * num_cache_leaves
+  num_retained = {'NORMAL': 1, 'NB': 2, 'ZINB': 3}[observation_model]
+  one_chunk = 6 * 32 * 4 * num_retained
   cached = predict_lib.predict_bnf(
       x, observation_model, params, config, stream_chunk_rows=32, **kwargs
   )
