@@ -257,7 +257,8 @@ def fit_bnf_synthetic(objective, df_train, df_test, quick,
 # --- legs ------------------------------------------------------------------
 
 
-def run_synthetic_leg(seeds, quick, observation_model='NORMAL'):
+def run_synthetic_leg(seeds, quick, observation_model='NORMAL',
+                      include_vi=True):
   """Per-seed head-to-head on the known-field generator; mean-aggregated.
 
   With a count `observation_model` (NB), the sklearn baselines regress
@@ -295,9 +296,10 @@ def run_synthetic_leg(seeds, quick, observation_model='NORMAL'):
     runs['bnf_map'] = fit_bnf_synthetic(
         'map', df_train, df_test, quick, observation_model
     )
-    runs['bnf_vi'] = fit_bnf_synthetic(
-        'vi', df_train, df_test, quick, observation_model
-    )
+    if include_vi:  # the CI gates pin MAP only and skip the VI fit
+      runs['bnf_vi'] = fit_bnf_synthetic(
+          'vi', df_train, df_test, quick, observation_model
+      )
 
     for name, run in runs.items():
       m = _metrics(

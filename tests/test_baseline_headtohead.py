@@ -20,10 +20,11 @@ from bayesnf_tpu.cli import baseline_headtohead
 
 @pytest.mark.slow
 def test_bnf_map_beats_sklearn_baselines_on_synthetic():
-  leg = baseline_headtohead.run_synthetic_leg(seeds=1, quick=False)
+  leg = baseline_headtohead.run_synthetic_leg(
+      seeds=1, quick=False, include_vi=False
+  )
   m = {name: vals['mean'] for name, vals in leg.items()}
   bnf = m.pop('bnf_map')
-  m.pop('bnf_vi')  # reported in the artifact; the gate pins MAP
 
   # Probabilistic forecast quality: lower CRPS than EVERY baseline,
   # including the featurized GBOOST (seed-0 margin is ~2% there — thin
@@ -45,3 +46,31 @@ def test_bnf_map_beats_sklearn_baselines_on_synthetic():
   # every baseline must itself be a sane fit (beats predicting the mean).
   for name, vals in m.items():
     assert np.isfinite(vals['rmse']) and vals['rmse'] < 2.5, (name, vals)
+
+
+@pytest.mark.slow
+def test_bnf_map_beats_sklearn_on_counts_point_metrics():
+  """The count-model gate: BNF's native NB likelihood vs count-as-
+  continuous sklearn regression (the paper's count-valued home domain).
+
+  Pins what the committed artifact shows (deterministic, seeded):
+  BNF-MAP wins RMSE, MAE, and true-mean recovery on every baseline.
+  CRPS is deliberately NOT gated here — the featurized GBOOST's
+  pinball-loss quantile heads edge it by ~9% at this budget (a
+  calibration-width trade, documented in PARITY.md §2c) — so this test
+  asserts exactly the claims the artifact makes, no more.
+  """
+  leg = baseline_headtohead.run_synthetic_leg(
+      seeds=1, quick=False, observation_model='NB', include_vi=False
+  )
+  m = {name: vals['mean'] for name, vals in leg.items()}
+  bnf = m.pop('bnf_map')
+
+  for name, vals in m.items():
+    assert bnf['rmse'] < vals['rmse'], (name, bnf['rmse'], vals['rmse'])
+    assert bnf['mae'] < vals['mae'], (name, bnf['mae'], vals['mae'])
+    assert bnf['rmse_vs_true_mean'] < vals['rmse_vs_true_mean'], (
+        name, bnf['rmse_vs_true_mean'], vals['rmse_vs_true_mean']
+    )
+  # Conservative-but-valid intervals on counts.
+  assert 0.9 <= bnf['coverage_95'] <= 1.0, bnf['coverage_95']
