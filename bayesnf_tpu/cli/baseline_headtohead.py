@@ -5,7 +5,7 @@ The framework exists to beat the paper's competitor methods
 quantile regression, trend-surface OLS/RIDGE/LASSO on BayesNF's own
 features), and the drivers have long been in `cli/evaluate_baseline.py`
 — this runner actually EXECUTES them alongside BayesNF-TPU and commits
-the comparison (VERDICT r4 item 1). Two legs:
+the comparison (VERDICT r4 item 1). Three legs:
 
 - ``synthetic``: the ground-truth suite generator (`cli/synthetic.py` —
   the same field the correctness suite gates on), several seeds, NORMAL
@@ -45,12 +45,16 @@ Usage (writes the committed artifact):
 
     python -m bayesnf_tpu.cli.baseline_headtohead --json-out BASELINES_r05.json
 
-~6 minutes on a v5e chip (synthetic 3 seeds + the published chickenpox
-config). `--quick` shrinks budgets for smoke runs; `--legs` selects legs.
+~12 minutes on a v5e chip (both synthetic legs × 3 seeds + the
+published chickenpox config). `--quick` shrinks budgets for smoke runs;
+`--legs` selects legs.
 
-The CI gate lives in `tests/test_baseline_headtohead.py`: on the
-synthetic leg, BayesNF-MAP must beat every sklearn baseline on held-out
-CRPS.
+The CI gates live in `tests/test_baseline_headtohead.py`: on the NORMAL
+synthetic leg BayesNF-MAP must beat every sklearn baseline on held-out
+CRPS and true-mean recovery; on the count leg it must win RMSE / MAE /
+true-mean recovery (CRPS deliberately ungated there — the featurized
+GBOOST's pinball heads edge it ~9% at this budget, a calibration-width
+trade documented in PARITY.md §2c).
 """
 
 import argparse
@@ -237,8 +241,14 @@ def fit_bnf_synthetic(objective, df_train, df_test, quick,
   model = cls(**synth_model(observation_model))
   fit_kwargs = dict(seed=jax.random.PRNGKey(1), ensemble_size=8)
   if objective == 'vi':
+    # NORMAL converges by 500 ELBO steps (the suite's budget); the count
+    # likelihood's shape/mean surrogate needs more — measured on seed 0:
+    # 500/1000/2000 steps -> CRPS 3.23/2.82/2.26, rmse_vs_true
+    # 3.76/3.42/1.37 (2000 is converged; MAP's count budget gets the
+    # same treatment at 800).
+    full = 500 if observation_model == 'NORMAL' else 2000
     fit_kwargs.update(
-        num_epochs=50 if quick else 500, learning_rate=0.01,
+        num_epochs=50 if quick else full, learning_rate=0.01,
         batch_size=None, sample_size_posterior=10,
     )
   else:

@@ -39,6 +39,11 @@ def main():
       num_processes=num_processes,
       process_id=process_id,
   )
+  # Phase sentinel for the harness's flake-retry logic: a failure BEFORE
+  # this line is the known rendezvous/initialization flake class (retried
+  # on a fresh port); a failure after it is product behavior (never
+  # retried) — see tests/test_multiprocess.py.
+  print('WORKER_INIT_OK', flush=True)
 
   sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
   from bayesnf_tpu.inference import map as map_lib

@@ -53,12 +53,15 @@ def test_bnf_map_beats_sklearn_on_counts_point_metrics():
   """The count-model gate: BNF's native NB likelihood vs count-as-
   continuous sklearn regression (the paper's count-valued home domain).
 
-  Pins what the committed artifact shows (deterministic, seeded):
-  BNF-MAP wins RMSE, MAE, and true-mean recovery on every baseline.
-  CRPS is deliberately NOT gated here — the featurized GBOOST's
-  pinball-loss quantile heads edge it by ~9% at this budget (a
-  calibration-width trade, documented in PARITY.md §2c) — so this test
-  asserts exactly the claims the artifact makes, no more.
+  Pins what the committed artifact shows for MAP (deterministic,
+  seeded): BNF-MAP wins RMSE, MAE, and true-mean recovery on every
+  baseline. MAP's CRPS is deliberately NOT gated — the featurized
+  GBOOST's pinball-loss quantile heads edge it by ~9% at MAP's budget (a
+  calibration-width trade, documented in PARITY.md §2c). The CRPS win on
+  counts belongs to BNF-VI at its converged 2000-step budget (CRPS 2.26
+  vs 2.33 best baseline, best field recovery outright) — carried by the
+  committed artifact rather than gated here because a 2000-step VI fit
+  is minutes of CPU per CI run.
   """
   leg = baseline_headtohead.run_synthetic_leg(
       seeds=1, quick=False, observation_model='NB', include_vi=False

@@ -42,24 +42,30 @@ def _free_port():
   return port
 
 
-# Stderr signatures of the known-flaky Gloo/coordination rendezvous: the
-# CPU collectives' context init holds a hardcoded ~30 s GetKeyValue
-# deadline inside jax, which a loaded host (pytest -n contention, a
-# concurrent bench) can blow through no matter how generous the worker
-# `communicate` bound is. Detectable in the failed child's stderr —
-# relaunch the whole gang on a fresh port instead of failing the suite
-# (VERDICT r4 item 4). Deliberately NARROW: these match only the
-# *initialization/rendezvous* phase (the observed flake is 'Gloo context
-# initialization failed: DEADLINE_EXCEEDED ... 29.999s'). A bare
-# DEADLINE_EXCEEDED from a mid-run collective — e.g. peers timing out
-# because another worker genuinely crashed, or a real deadlock — does
-# NOT match and fails the test immediately, so a product regression
-# cannot be retried into a flaky pass.
+# Signatures of the known-flaky Gloo/coordination rendezvous: the CPU
+# collectives' context init holds a hardcoded ~30 s GetKeyValue deadline
+# inside jax, which a loaded host (pytest -n contention, a concurrent
+# bench) can blow through no matter how generous the worker
+# `communicate` bound is. A matching failure relaunches the whole gang
+# on a fresh port instead of failing the suite (VERDICT r4 item 4).
+#
+# Phase discrimination keeps this from masking product bugs: the worker
+# prints a `WORKER_INIT_OK` sentinel the moment `jax.distributed
+# .initialize` returns, and a failure is only retried when the failed
+# worker NEVER reached it — i.e. it died inside the rendezvous phase.
+# After the sentinel, any failure (including a mid-run collective
+# DEADLINE_EXCEEDED from a real deadlock, or peers timing out because
+# another worker genuinely crashed after init) fails the test
+# immediately. With the phase gate in place the signatures can stay
+# broad enough to cover every rendezvous-timeout spelling.
 _RENDEZVOUS_ERRORS = (
+    'DEADLINE_EXCEEDED',
     'Gloo context initialization failed',
     'initialization_timeout',
+    'Barrier timed out',
     'Failed to connect to the coordination service',
 )
+_INIT_SENTINEL = 'WORKER_INIT_OK'
 
 
 def _launch_gang(num_processes, data_devices_per_host, ckpt_dir,
@@ -109,9 +115,15 @@ def _run_workers(data_devices_per_host, ckpt_dir=None, num_processes=2,
     if failures:
       rc, o, e = failures[0]
       last_failure = f'worker failed (rc={rc}):\n{o}\n{e}'
-      if any(sig in e or sig in o for _, o, e in failures
-             for sig in _RENDEZVOUS_ERRORS):
-        continue  # environment flake: retry the gang on a fresh port
+      pre_init = [
+          (o, e) for _, o, e in failures if _INIT_SENTINEL not in o
+      ]
+      if pre_init and any(
+          sig in e or sig in o
+          for o, e in pre_init
+          for sig in _RENDEZVOUS_ERRORS
+      ):
+        continue  # rendezvous-phase flake: retry the gang on a fresh port
       break
     results = {}
     for _, out, _ in outs:
