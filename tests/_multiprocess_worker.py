@@ -39,11 +39,6 @@ def main():
       num_processes=num_processes,
       process_id=process_id,
   )
-  # Phase sentinel for the harness's flake-retry logic: a failure BEFORE
-  # this line is the known rendezvous/initialization flake class (retried
-  # on a fresh port); a failure after it is product behavior (never
-  # retried) — see tests/test_multiprocess.py.
-  print('WORKER_INIT_OK', flush=True)
 
   sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
   from bayesnf_tpu.inference import map as map_lib
@@ -55,6 +50,29 @@ def main():
 
   mesh = distributed.multihost_mesh(data_devices_per_host=data_per_host)
   assert distributed.is_multiprocess_mesh(mesh)
+
+  # Warm-up collective, THEN the phase sentinel for the harness's
+  # flake-retry logic. `jax.distributed.initialize` succeeding is not
+  # enough: the flaky ~30 s GetKeyValue deadline lives in the Gloo
+  # CONTEXT formation, which happens at the first cross-process
+  # collective — so force that rendezvous here. A failure before the
+  # sentinel is the known environment flake class (harness retries on a
+  # fresh port); a failure after it is product behavior (never retried)
+  # — see tests/test_multiprocess.py.
+  from bayesnf_tpu.parallel import mesh as mesh_lib
+
+  probe = distributed.make_global(
+      np.arange(mesh.size, dtype=np.float32),
+      jax.sharding.NamedSharding(
+          mesh,
+          jax.sharding.PartitionSpec(
+              (mesh_lib.ENSEMBLE_AXIS, mesh_lib.DATA_AXIS)
+          ),
+      ),
+  )
+  gathered = distributed.host_value(probe)  # cross-process allgather
+  assert gathered.shape == (mesh.size,)
+  print('WORKER_INIT_OK', flush=True)
 
   config = field_lib.FieldConfig.create(
       width=16,

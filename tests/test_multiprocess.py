@@ -50,12 +50,16 @@ def _free_port():
 # on a fresh port instead of failing the suite (VERDICT r4 item 4).
 #
 # Phase discrimination keeps this from masking product bugs: the worker
-# prints a `WORKER_INIT_OK` sentinel the moment `jax.distributed
-# .initialize` returns, and a failure is only retried when the failed
-# worker NEVER reached it — i.e. it died inside the rendezvous phase.
-# After the sentinel, any failure (including a mid-run collective
-# DEADLINE_EXCEEDED from a real deadlock, or peers timing out because
-# another worker genuinely crashed after init) fails the test
+# prints a `WORKER_INIT_OK` sentinel only after BOTH
+# `jax.distributed.initialize` AND a warm-up cross-process collective
+# complete — the flaky Gloo CONTEXT formation happens at the first
+# collective, not at initialize (observed: a full-suite run where the
+# flake hit post-initialize and an initialize-time sentinel failed to
+# classify it). A failure is only retried when the failed worker NEVER
+# reached the sentinel — i.e. it died inside the rendezvous/context
+# phase. After the sentinel, any failure (including a mid-run
+# collective DEADLINE_EXCEEDED from a real deadlock, or peers timing
+# out because another worker genuinely crashed) fails the test
 # immediately. With the phase gate in place the signatures can stay
 # broad enough to cover every rendezvous-timeout spelling.
 _RENDEZVOUS_ERRORS = (
