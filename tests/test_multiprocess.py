@@ -204,6 +204,72 @@ def _reference_fit(data_devices):
   )
 
 
+def test_rendezvous_retry_classification(monkeypatch):
+  """The flake-retry gate: scripted gang outcomes drive the 3 branches.
+
+  Pure-logic test (no subprocesses): `_launch_gang` is replaced with a
+  script of per-attempt outcomes, checking that (a) a pre-sentinel
+  failure with a rendezvous signature retries and eventually succeeds,
+  (b) a post-sentinel failure with the same signature fails immediately
+  (a real collective deadlock must not be retried into a flaky pass),
+  (c) a pre-sentinel failure WITHOUT a rendezvous signature (e.g. an
+  import error) fails immediately, and (d) retries are bounded.
+  """
+  ok = [(0, f'{_INIT_SENTINEL}\nWORKER_RESULT {{"process_id": {i}}}', '')
+        for i in range(2)]
+  flake = [
+      (0, f'{_INIT_SENTINEL}\nWORKER_RESULT {{"process_id": 0}}', ''),
+      (1, '', 'Gloo context initialization failed: DEADLINE_EXCEEDED'),
+  ]
+  deadlock = [
+      (0, f'{_INIT_SENTINEL}\nWORKER_RESULT {{"process_id": 0}}', ''),
+      (1, _INIT_SENTINEL, 'DEADLINE_EXCEEDED in all-reduce'),
+  ]
+  crash = [
+      (0, f'{_INIT_SENTINEL}\nWORKER_RESULT {{"process_id": 0}}', ''),
+      (1, '', "ImportError: No module named 'nope'"),
+  ]
+
+  def scripted(outcomes):
+    script = list(outcomes)
+    calls = []
+
+    def fake_launch(*args, **kwargs):
+      calls.append(1)
+      return script.pop(0)
+
+    return fake_launch, calls
+
+  self_mod = sys.modules[__name__]
+
+  # (a) one flaky attempt, then success -> retried, results returned.
+  fake, calls = scripted([flake, ok])
+  monkeypatch.setattr(self_mod, '_launch_gang', fake)
+  results = _run_workers(1)
+  assert len(calls) == 2 and set(results) == {0, 1}
+
+  # (b) post-sentinel DEADLINE_EXCEEDED -> NO retry, immediate failure.
+  fake, calls = scripted([deadlock, ok])
+  monkeypatch.setattr(self_mod, '_launch_gang', fake)
+  with pytest.raises(AssertionError, match='all-reduce'):
+    _run_workers(1)
+  assert len(calls) == 1
+
+  # (c) pre-sentinel failure without a rendezvous signature -> no retry.
+  fake, calls = scripted([crash, ok])
+  monkeypatch.setattr(self_mod, '_launch_gang', fake)
+  with pytest.raises(AssertionError, match='ImportError'):
+    _run_workers(1)
+  assert len(calls) == 1
+
+  # (d) persistent flake -> bounded attempts, then the failure surfaces.
+  fake, calls = scripted([flake, flake, flake, flake])
+  monkeypatch.setattr(self_mod, '_launch_gang', fake)
+  with pytest.raises(AssertionError, match='Gloo context'):
+    _run_workers(1, attempts=3)
+  assert len(calls) == 3
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize('data_devices_per_host', [1, 2])
 def test_two_process_fit_matches_single_process(
