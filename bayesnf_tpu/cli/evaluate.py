@@ -115,6 +115,7 @@ def run_experiment(
     means, quants = model.predict(
         df_all, quantiles=quantiles,
         stream_chunk_rows=inference_config.get('stream_chunk_rows'),
+        stream_cache_bytes=inference_config.get('stream_cache_bytes'),
     )
   runtime = time.perf_counter() - start
   losses = model.losses_
@@ -246,7 +247,13 @@ def main(argv=None):
       '--stream_chunk_rows', type=int, default=None,
       help='Out-of-core prediction: stream the (train+test) grid from '
       'host RAM in chunks of this many rows (bit-identical outputs, '
-      'device memory O(chunk)).',
+      'device memory O(chunk) + the cache budget).',
+  )
+  parser.add_argument(
+      '--stream_cache_bytes', type=int, default=None,
+      help='With --stream_chunk_rows: device cache budget for the '
+      'streamed predictor (default 1 GiB; 0 = strict O(chunk) device '
+      'memory — grids within the budget stream at in-memory speed).',
   )
   parser.add_argument(
       '--stream_member_remix', action='store_true',
@@ -285,6 +292,8 @@ def main(argv=None):
       inference['stream_member_remix'] = True
     if args.stream_chunk_rows is not None:
       inference['stream_chunk_rows'] = args.stream_chunk_rows
+    if args.stream_cache_bytes is not None:
+      inference['stream_cache_bytes'] = args.stream_cache_bytes
     sid = data_cfg['series_id_fmt'](series_id)
     print(f'{args.dataset} series {sid} ({args.objective})')
     run_experiment(

@@ -388,13 +388,14 @@ def test_main_plumbs_streaming_flags(monkeypatch):
       '--data_root', 'unused', '--output_dir', 'unused',
       '--start_id', '8', '--stop_id', '9',
       '--stream_chunk_steps', '4', '--stream_member_remix',
-      '--stream_chunk_rows', '1024',
+      '--stream_chunk_rows', '1024', '--stream_cache_bytes', '0',
       '--batch_size', '25', '--num_epochs', '30',
   ])
   inf = captured['inference_config']
   assert inf['stream_chunk_steps'] == 4
   assert inf['stream_member_remix'] is True
   assert inf['stream_chunk_rows'] == 1024
+  assert inf['stream_cache_bytes'] == 0  # explicit 0 must survive
   assert inf['batch_size'] == 25
   assert inf['num_epochs'] == 30
 
