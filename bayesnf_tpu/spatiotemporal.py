@@ -433,7 +433,7 @@ class BayesianNeuralFieldEstimator:
     return model
 
   def likelihood_model(self, table: pd.DataFrame, backend: str = 'auto',
-                       stream_chunk_rows=None):
+                       stream_chunk_rows=None, stream_cache_bytes=None):
     """Predictive distribution object over the target at new points.
 
     Must be called after `fit`. Returns an
@@ -445,7 +445,8 @@ class BayesianNeuralFieldEstimator:
     safe), and under `backend='auto'` the fused Pallas forward on TPU.
     With `stream_chunk_rows` set, rows stream from host RAM in bounded
     chunks and the distribution wraps host numpy parameter buffers
-    (device memory stays O(chunk); see :meth:`predict`).
+    (device memory stays O(chunk) plus the `stream_cache_bytes` batched-
+    fetch budget; see :meth:`predict`).
     """
     test_data = self.data_handler.get_test(table)
     config = self._field_config(test_data.shape)
@@ -460,6 +461,11 @@ class BayesianNeuralFieldEstimator:
         mesh=self.mesh_,
         backend=backend,
         stream_chunk_rows=stream_chunk_rows,
+        **(
+            {}
+            if stream_cache_bytes is None
+            else {'stream_cache_bytes': int(stream_cache_bytes)}
+        ),
     )
 
     if distribution == likelihoods.LikelihoodDist.NORMAL:

@@ -196,7 +196,9 @@ def test_estimator_streamed_predict_and_likelihood_model():
   _assert_bitwise(got, want)
 
   lm_mem = m.likelihood_model(df, backend='xla')
-  lm_str = m.likelihood_model(df, backend='xla', stream_chunk_rows=32)
+  lm_str = m.likelihood_model(
+      df, backend='xla', stream_chunk_rows=32, stream_cache_bytes=0
+  )
   np.testing.assert_array_equal(
       np.asarray(lm_str.mean()), np.asarray(lm_mem.mean())
   )
