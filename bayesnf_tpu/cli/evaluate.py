@@ -135,14 +135,40 @@ def run_experiment(
   target_col = dataset_config['target_col']
   valid = df_all[target_col].notna().to_numpy()
   y_all = df_all.loc[valid, target_col].to_numpy(dtype=np.float64)
-  yhat_all = np.asarray(means).mean(
-      axis=tuple(range(np.asarray(means).ndim - 1))
+  means_host = np.asarray(means)  # one device->host materialization
+  yhat_all = means_host.mean(
+      axis=tuple(range(means_host.ndim - 1))
   )[valid]
   key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
-  dist = model.likelihood_model(df_all)
-  draws = np.asarray(
-      dist.sample(jax.random.fold_in(key, 1), sample_shape=(8,))
-  ).reshape(-1, len(valid))[:, valid]
+  sample_key = jax.random.fold_in(key, 1)
+  stream_rows = inference_config.get('stream_chunk_rows')
+  if stream_rows is None:
+    dist = model.likelihood_model(df_all)
+    draws = np.asarray(
+        dist.sample(sample_key, sample_shape=(8,))
+    ).reshape(-1, len(valid))[:, valid]
+  else:
+    # Out-of-core metrics: with --stream_chunk_rows the grid may exceed
+    # device memory, so the draws buffer assembles chunk-wise — each
+    # row chunk gets its own streamed likelihood_model + sample, keeping
+    # device memory O(chunk) like the prediction above. Per-chunk folded
+    # keys mean the draw VALUES differ from an in-memory run's single
+    # key (CRPS is a stochastic estimate either way; the in-memory path
+    # could not run at this scale at all).
+    lm_kwargs = dict(
+        stream_chunk_rows=stream_rows,
+        stream_cache_bytes=inference_config.get('stream_cache_bytes'),
+    )
+    parts = []
+    for ci, lo in enumerate(range(0, len(df_all), stream_rows)):
+      sub = df_all.iloc[lo:lo + stream_rows]
+      d = model.likelihood_model(sub, **lm_kwargs)
+      parts.append(
+          np.asarray(
+              d.sample(jax.random.fold_in(sample_key, ci), sample_shape=(8,))
+          ).reshape(-1, len(sub))
+      )
+    draws = np.concatenate(parts, axis=1)[:, valid]
   n_train_valid = int(df_train[target_col].notna().sum())
   is_train = np.arange(len(y_all)) < n_train_valid
   metrics_block = {}
@@ -182,7 +208,7 @@ def run_experiment(
   # reference's filtered index on its NaN-free experiment CSVs
   # (scripts/evaluate.py:137-150), but robust when targets are missing.
   pred_index = df_all.index
-  means = np.asarray(means)
+  means = means_host  # already materialized once for the metrics block
   pred_df = pd.DataFrame(
       {
           'yhat': means.mean(axis=tuple(range(means.ndim - 1))),

@@ -334,7 +334,7 @@ def forecast_params_bnf(
     mesh=None,
     backend: str = 'auto',
     stream_chunk_rows: int | None = None,
-    stream_cache_bytes: int = 1 << 30,
+    stream_cache_bytes: int | None = None,
 ):
   """Per-member forecast distribution parameters at new points.
 
@@ -358,7 +358,11 @@ def forecast_params_bnf(
         features, observation_model, params, config,
         ensemble_dims=ensemble_dims, chunk_size=chunk_size, mesh=mesh,
         backend=backend, stream_chunk_rows=stream_chunk_rows,
-        stream_cache_bytes=stream_cache_bytes,
+        **(
+            {}
+            if stream_cache_bytes is None
+            else {'stream_cache_bytes': int(stream_cache_bytes)}
+        ),
     )
   distribution = likelihoods.LikelihoodDist(observation_model)
   assert ensemble_dims >= 1
@@ -392,7 +396,7 @@ def predict_bnf(
     mesh=None,
     backend: str = 'auto',
     stream_chunk_rows: int | None = None,
-    stream_cache_bytes: int = 1 << 30,
+    stream_cache_bytes: int | None = None,
 ):
   """Predict means and mixture quantiles at new points.
 
@@ -425,9 +429,10 @@ def predict_bnf(
       `approximate_quantiles` heuristic, which is ulp-close
       (`inference/predict_stream.py`).
     stream_cache_bytes: streamed-predict device cache budget in bytes
-      (default 1 GiB; 0 disables): pass-2 root-find inputs stay
-      device-resident up to this budget so in-budget grids stream with
-      zero re-upload traffic. Ignored without `stream_chunk_rows`.
+      (None -> the streamed engine's 1 GiB default; 0 disables): pass-2
+      root-find inputs stay device-resident up to this budget so
+      in-budget grids stream with zero re-upload traffic. Ignored
+      without `stream_chunk_rows`.
 
   Returns:
     (means, [quantile arrays]): means keeps the ensemble axes,
@@ -441,7 +446,11 @@ def predict_bnf(
         ensemble_dims=ensemble_dims,
         approximate_quantiles=approximate_quantiles, chunk_size=chunk_size,
         mesh=mesh, backend=backend, stream_chunk_rows=stream_chunk_rows,
-        stream_cache_bytes=stream_cache_bytes,
+        **(
+            {}
+            if stream_cache_bytes is None
+            else {'stream_cache_bytes': int(stream_cache_bytes)}
+        ),
     )
   distribution = likelihoods.LikelihoodDist(observation_model)
   assert ensemble_dims >= 1

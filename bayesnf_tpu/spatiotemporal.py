@@ -283,11 +283,7 @@ class BayesianNeuralFieldEstimator:
         mesh=self.mesh_,
         backend=backend,
         stream_chunk_rows=stream_chunk_rows,
-        **(
-            {}
-            if stream_cache_bytes is None
-            else {'stream_cache_bytes': int(stream_cache_bytes)}
-        ),
+        stream_cache_bytes=stream_cache_bytes,
     )
 
   def fit(self, table, seed, **kwargs):
@@ -461,11 +457,7 @@ class BayesianNeuralFieldEstimator:
         mesh=self.mesh_,
         backend=backend,
         stream_chunk_rows=stream_chunk_rows,
-        **(
-            {}
-            if stream_cache_bytes is None
-            else {'stream_cache_bytes': int(stream_cache_bytes)}
-        ),
+        stream_cache_bytes=stream_cache_bytes,
     )
 
     if distribution == likelihoods.LikelihoodDist.NORMAL:

@@ -55,23 +55,14 @@ def main():
   # flake-retry logic. `jax.distributed.initialize` succeeding is not
   # enough: the flaky ~30 s GetKeyValue deadline lives in the Gloo
   # CONTEXT formation, which happens at the first cross-process
-  # collective — so force that rendezvous here. A failure before the
-  # sentinel is the known environment flake class (harness retries on a
-  # fresh port); a failure after it is product behavior (never retried)
-  # — see tests/test_multiprocess.py.
-  from bayesnf_tpu.parallel import mesh as mesh_lib
+  # collective — so force that rendezvous here. Deliberately a JAX-level
+  # primitive, not product code (make_global/host_value): the retried
+  # pre-sentinel window must not cover product collective paths, or a
+  # nondeterministic product regression there could be retried into a
+  # flaky pass — see tests/test_multiprocess.py.
+  from jax.experimental import multihost_utils
 
-  probe = distributed.make_global(
-      np.arange(mesh.size, dtype=np.float32),
-      jax.sharding.NamedSharding(
-          mesh,
-          jax.sharding.PartitionSpec(
-              (mesh_lib.ENSEMBLE_AXIS, mesh_lib.DATA_AXIS)
-          ),
-      ),
-  )
-  gathered = distributed.host_value(probe)  # cross-process allgather
-  assert gathered.shape == (mesh.size,)
+  multihost_utils.sync_global_devices('bnf_worker_gloo_warmup')
   print('WORKER_INIT_OK', flush=True)
 
   config = field_lib.FieldConfig.create(

@@ -71,6 +71,37 @@ def test_run_experiment_artifacts(tmp_path, objective):
   assert (pred_df.yhat_p50 <= pred_df.yhat_upper).all()
 
 
+def test_run_experiment_streamed_out_of_core_metrics(tmp_path):
+  """With stream_chunk_rows, predict AND the metrics draws stay O(chunk).
+
+  The CRPS draws assemble chunk-wise through the streamed
+  likelihood_model (per-chunk folded keys), so a grid larger than device
+  memory never materializes whole on device anywhere in run_experiment.
+  This runs the 308-row fixture with 128-row chunks and checks the
+  artifact is complete and finite end to end.
+  """
+  inference = _mini_inference('map')
+  inference.update(stream_chunk_rows=128, stream_cache_bytes=0)
+  evaluate.run_experiment(
+      dataset='chickenpox',
+      data_root=_DATA_ROOT,
+      series_id='8',
+      output_dir=str(tmp_path),
+      objective='map',
+      seed=jax.random.PRNGKey(0),
+      model_config=_mini_model('map'),
+      inference_config=inference,
+  )
+  stem = str(tmp_path / 'bnf-map.chickenpox.8')
+  log = json.loads(open(f'{stem}.log.json').read())
+  for region in ('train', 'test'):
+    for metric in ('rmse', 'mae', 'crps'):
+      assert np.isfinite(log['metrics'][region][metric])
+  pred_df = pd.read_csv(f'{stem}.pred.csv', index_col=0)
+  assert len(pred_df) == 308
+  assert np.all(np.isfinite(pred_df.values))
+
+
 def test_run_experiment_data_devices(tmp_path):
   """`data_devices` in the inference config shards rows over the mesh.
 
