@@ -54,15 +54,24 @@ def main():
   # Warm-up collective, THEN the phase sentinel for the harness's
   # flake-retry logic. `jax.distributed.initialize` succeeding is not
   # enough: the flaky ~30 s GetKeyValue deadline lives in the Gloo
-  # CONTEXT formation, which happens at the first cross-process
-  # collective — so force that rendezvous here. Deliberately a JAX-level
-  # primitive, not product code (make_global/host_value): the retried
-  # pre-sentinel window must not cover product collective paths, or a
-  # nondeterministic product regression there could be retried into a
-  # flaky pass — see tests/test_multiprocess.py.
+  # CONTEXT formation, which happens at the first cross-process device
+  # collective — so force that rendezvous here with a real allgather
+  # (NOT `sync_global_devices`, whose barrier rides the coordination
+  # service rather than the Gloo collectives backend — a loaded suite
+  # run proved it leaves the flake point after the sentinel).
+  # Deliberately a JAX-level primitive, not product code
+  # (make_global/host_value): the retried pre-sentinel window must not
+  # cover product collective paths, or a nondeterministic product
+  # regression there could be retried into a flaky pass — see
+  # tests/test_multiprocess.py.
   from jax.experimental import multihost_utils
 
-  multihost_utils.sync_global_devices('bnf_worker_gloo_warmup')
+  gathered = multihost_utils.process_allgather(
+      np.asarray([process_id], np.int32)
+  )
+  assert gathered.size == num_processes * jax.local_device_count() or (
+      gathered.size == num_processes
+  ), gathered.shape
   print('WORKER_INIT_OK', flush=True)
 
   config = field_lib.FieldConfig.create(
