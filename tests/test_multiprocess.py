@@ -49,25 +49,31 @@ def _free_port():
 # `communicate` bound is. A matching failure relaunches the whole gang
 # on a fresh port instead of failing the suite (VERDICT r4 item 4).
 #
-# Phase discrimination keeps this from masking product bugs: the worker
-# prints a `WORKER_INIT_OK` sentinel only after BOTH
-# `jax.distributed.initialize` AND a warm-up cross-process collective
-# complete — the flaky Gloo CONTEXT formation happens at the first
-# collective, not at initialize (observed: a full-suite run where the
-# flake hit post-initialize and an initialize-time sentinel failed to
-# classify it). A failure is only retried when the failed worker NEVER
-# reached the sentinel — i.e. it died inside the rendezvous/context
-# phase. After the sentinel, any failure (including a mid-run
-# collective DEADLINE_EXCEEDED from a real deadlock, or peers timing
-# out because another worker genuinely crashed) fails the test
-# immediately. With the phase gate in place the signatures can stay
-# broad enough to cover every rendezvous-timeout spelling.
-_RENDEZVOUS_ERRORS = (
-    'DEADLINE_EXCEEDED',
+# Two signature classes with different retry policies (loaded suite
+# runs taught the distinction the hard way):
+#
+# - CONTEXT-FORMATION failures retry regardless of run phase. Gloo
+#   forms a separate communicator per distinct device group, each with
+#   its own ~30 s KV rendezvous — so the flake can fire at ANY later
+#   collective that first touches a new group (observed post-warm-up
+#   even after the worker's full-device allgather probe), and no phase
+#   sentinel can cover every communicator. The signature itself is
+#   specific to communicator formation: product logic cannot corrupt
+#   the KV rendezvous, and a deterministic cross-process desync would
+#   fail all bounded attempts and still surface.
+# - BROAD timeout spellings (a bare mid-collective DEADLINE_EXCEEDED, a
+#   coordination barrier timeout) retry ONLY when the failed worker
+#   died before its `WORKER_INIT_OK` sentinel (printed after
+#   `jax.distributed.initialize` + a warm-up allgather): after it, such
+#   a failure is a real deadlock or a crashed peer — never retried.
+_CONTEXT_FORMATION_ERRORS = (
     'Gloo context initialization failed',
     'initialization_timeout',
-    'Barrier timed out',
     'Failed to connect to the coordination service',
+)
+_RENDEZVOUS_ERRORS = _CONTEXT_FORMATION_ERRORS + (
+    'DEADLINE_EXCEEDED',
+    'Barrier timed out',
 )
 _INIT_SENTINEL = 'WORKER_INIT_OK'
 
@@ -119,15 +125,21 @@ def _run_workers(data_devices_per_host, ckpt_dir=None, num_processes=2,
     if failures:
       rc, o, e = failures[0]
       last_failure = f'worker failed (rc={rc}):\n{o}\n{e}'
+      context_flake = any(
+          sig in e or sig in o
+          for _, o, e in failures
+          for sig in _CONTEXT_FORMATION_ERRORS
+      )
       pre_init = [
           (o, e) for _, o, e in failures if _INIT_SENTINEL not in o
       ]
-      if pre_init and any(
+      pre_init_flake = pre_init and any(
           sig in e or sig in o
           for o, e in pre_init
           for sig in _RENDEZVOUS_ERRORS
-      ):
-        continue  # rendezvous-phase flake: retry the gang on a fresh port
+      )
+      if context_flake or pre_init_flake:
+        continue  # environment flake: retry the gang on a fresh port
       break
     results = {}
     for _, out, _ in outs:
@@ -225,6 +237,11 @@ def test_rendezvous_retry_classification(monkeypatch):
       (0, f'{_INIT_SENTINEL}\nWORKER_RESULT {{"process_id": 0}}', ''),
       (1, _INIT_SENTINEL, 'DEADLINE_EXCEEDED in all-reduce'),
   ]
+  late_context = [
+      (0, f'{_INIT_SENTINEL}\nWORKER_RESULT {{"process_id": 0}}', ''),
+      (1, _INIT_SENTINEL,
+       'Gloo context initialization failed: DEADLINE_EXCEEDED'),
+  ]
   crash = [
       (0, f'{_INIT_SENTINEL}\nWORKER_RESULT {{"process_id": 0}}', ''),
       (1, '', "ImportError: No module named 'nope'"),
@@ -248,12 +265,21 @@ def test_rendezvous_retry_classification(monkeypatch):
   results = _run_workers(1)
   assert len(calls) == 2 and set(results) == {0, 1}
 
-  # (b) post-sentinel DEADLINE_EXCEEDED -> NO retry, immediate failure.
+  # (b) post-sentinel bare DEADLINE_EXCEEDED -> NO retry (real deadlock
+  # or crashed peer fails immediately).
   fake, calls = scripted([deadlock, ok])
   monkeypatch.setattr(self_mod, '_launch_gang', fake)
   with pytest.raises(AssertionError, match='all-reduce'):
     _run_workers(1)
   assert len(calls) == 1
+
+  # (b2) but a post-sentinel CONTEXT-FORMATION failure retries: Gloo
+  # forms a communicator per device group, so its rendezvous flake can
+  # fire at any later collective that first touches a new group.
+  fake, calls = scripted([late_context, ok])
+  monkeypatch.setattr(self_mod, '_launch_gang', fake)
+  results = _run_workers(1)
+  assert len(calls) == 2 and set(results) == {0, 1}
 
   # (c) pre-sentinel failure without a rendezvous signature -> no retry.
   fake, calls = scripted([crash, ok])
